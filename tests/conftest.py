@@ -1,0 +1,13 @@
+"""Test config: force JAX onto a simulated 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; the standard JAX substitute is
+the host-platform device-count flag, which gives pjit/shard_map tests 8 real
+XLA CPU devices (SURVEY.md §4.4). Must run before the first jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

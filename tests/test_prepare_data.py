@@ -1,0 +1,86 @@
+"""ETL tests: COCO filename padding, dataset file format, vocab side-output."""
+
+import json
+import pickle
+
+import pytest
+
+from vqa_tpu.datahelper import VQA
+from vqa_tpu.prepare_data import coco_pad, image_affixes, main as prepare_main
+
+
+def test_coco_pad():
+    # 6-digit pad for COCO (prefix carries the other 6 zeros)
+    assert coco_pad(9, True) == "000009"
+    assert coco_pad(123456, True) == "123456"
+    # 5-digit pad for abstract scenes
+    assert coco_pad(42, False) == "00042"
+
+
+def test_image_affixes():
+    assert image_affixes("train", True, False) == ("COCO_train2014_000000", ".jpg")
+    assert image_affixes("val", True, False) == ("COCO_val2014_000000", ".jpg")
+    assert image_affixes("train", False, True) == ("abstract_v002_train2015_0000000", ".png")
+    with pytest.raises(NotImplementedError):
+        image_affixes("val", False, True)
+
+
+@pytest.fixture
+def vqa_json_files(tmp_path):
+    annotations = {
+        "info": {"version": "2.0"},
+        "annotations": [
+            {"image_id": 25, "question_id": 250, "question_type": "what is",
+             "answer_type": "other", "multiple_choice_answer": "cat",
+             "answers": [{"answer": "cat", "answer_id": 1}]},
+            {"image_id": 25, "question_id": 251, "question_type": "is the",
+             "answer_type": "yes/no", "multiple_choice_answer": "yes",
+             "answers": [{"answer": "yes", "answer_id": 1}]},
+            {"image_id": 7777, "question_id": 252, "question_type": "what color",
+             "answer_type": "other", "multiple_choice_answer": "black",
+             "answers": [{"answer": "black", "answer_id": 1}]},
+        ],
+    }
+    questions = {
+        "questions": [
+            {"question_id": 250, "image_id": 25, "question": "What is on the bed?"},
+            {"question_id": 251, "image_id": 25, "question": "Is the cat asleep?"},
+            {"question_id": 252, "image_id": 7777, "question": "What color is the cat?"},
+        ],
+    }
+    a = tmp_path / "annotations.json"
+    q = tmp_path / "questions.json"
+    a.write_text(json.dumps(annotations))
+    q.write_text(json.dumps(questions))
+    return str(a), str(q)
+
+
+def test_datahelper_index(vqa_json_files):
+    a, q = vqa_json_files
+    helper = VQA(a, q)
+    assert set(helper.getQuesIds()) == {250, 251, 252}
+    assert helper.getQuesIds(imgIds=[25]) == [250, 251]
+    assert helper.getQuesIds(ansTypes=["yes/no"]) == [251]
+    assert helper.getImgIds(quesIds=[252]) == [7777]
+    assert helper.loadQA(250)[0]["multiple_choice_answer"] == "cat"
+    assert helper.qqa[251]["question"] == "Is the cat asleep?"
+
+
+def test_prepare_data_end_to_end(vqa_json_files, tmp_path):
+    a, q = vqa_json_files
+    out = tmp_path / "vqa_train.txt"
+    vocab = tmp_path / "vocab.pkl"
+    prepare_main(["--balanced_real_images", "-s", "train", "-a", a, "-q", q,
+                  "-o", str(out), "-v", str(vocab), "-c", "1", "-K", "10"])
+
+    lines = out.read_text().strip().split("\n")
+    assert lines[0] == "COCO_train2014_000000000025.jpg\tWhat,is,on,the,bed?\tcat"
+    assert lines[1] == "COCO_train2014_000000000025.jpg\tIs,the,cat,asleep?\tyes"
+    assert lines[2] == "COCO_train2014_000000007777.jpg\tWhat,color,is,the,cat?\tblack"
+
+    with open(vocab, "rb") as f:
+        v = pickle.load(f)
+    assert v["word2idx"]["<PAD>"] == 0
+    assert "cat" in v["word2idx"]
+    assert v["label2idx"]["UNKNOWN"] == 0
+    assert v["max_seq_length"] == 5

@@ -1,0 +1,142 @@
+"""Input pipeline: host decode workers + device-side preprocess + prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=...)``
+(/root/reference/main.py:129-130,146-147) with a TPU-native design:
+
+- a background thread assembles batches: gathers pre-tokenized question
+  arrays (``VQASamples``) and decodes images via a thread pool
+  (libjpeg releases the GIL, so threads scale without process overhead);
+- batches are pushed onto a bounded queue as uint8 + int32 host arrays;
+- the consumer transfers uint8 to device and runs a jitted
+  resize+normalize, overlapping H2D + preprocess with the train step
+  (the north-star "fused on-device image pipeline");
+- ``shuffle`` / ``drop_last`` / deterministic seeding match the reference
+  loader's observable behavior; sharding hooks support per-host slicing
+  for multi-host data parallelism.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dataset import VQASamples
+from .images import decode_batch
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)  # reference main.py:126-127
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@partial(jax.jit, static_argnames=("image_size", "compute_dtype"))
+def preprocess_images(raw_uint8, image_size: int, compute_dtype=jnp.float32):
+    """uint8 [B,H,W,3] -> normalized float [B,image_size,image_size,3] on device.
+
+    Equivalent of the reference's host-side ToTensor+Resize+Normalize
+    (main.py:126-127) as one XLA-fused device computation.
+    """
+    x = raw_uint8.astype(jnp.float32) / 255.0
+    b, h, w, c = x.shape
+    if (h, w) != (image_size, image_size):
+        x = jax.image.resize(x, (b, image_size, image_size, c), method="bilinear")
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    x = (x - mean) / std
+    return x.astype(compute_dtype)
+
+
+def make_image_preprocessor(image_size: int, compute_dtype=jnp.float32):
+    """Bind static args of :func:`preprocess_images`."""
+    def fn(raw_uint8):
+        return preprocess_images(raw_uint8, image_size=image_size, compute_dtype=compute_dtype)
+    return fn
+
+
+class DataLoader:
+    """Shuffling, prefetching batch loader over :class:`VQASamples`.
+
+    Yields dicts ``{image: uint8 [B,S,S,3], question: int32 [B,L],
+    ques_len: int32 [B], label: int32 [B]}`` as host numpy arrays; device
+    transfer + final preprocess happen in the training driver so the loader
+    stays device-agnostic (and shardable).
+    """
+
+    def __init__(self, samples: VQASamples, batch_size: int, *, host_size: int,
+                 shuffle: bool = True, drop_last: bool = True, num_workers: int = 4,
+                 seed: int = 0, synthetic_images: bool = False, prefetch: int = 2,
+                 shard_index: int = 0, num_shards: int = 1):
+        self.samples = samples
+        self.batch_size = batch_size
+        self.host_size = host_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.synthetic_images = synthetic_images
+        self.prefetch = max(1, prefetch)
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self._epoch = 0
+        self._pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+
+    def __len__(self) -> int:
+        n = len(self.samples) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(order)
+        # per-host shard: contiguous strided split so every host sees a
+        # disjoint, equally-sized subset each epoch
+        return order[self.shard_index::self.num_shards]
+
+    def _make_batch(self, idx: np.ndarray) -> dict:
+        paths = [self.samples.image_path(i) for i in idx]
+        images = decode_batch(paths, self.host_size, pool=self._pool,
+                              synthetic_fallback=self.synthetic_images)
+        return {
+            "image": images,
+            "question": self.samples.questions[idx],
+            "ques_len": self.samples.ques_len[idx],
+            "label": self.samples.labels[idx],
+        }
+
+    def __iter__(self):
+        order = self._epoch_order()
+        self._epoch += 1
+        bs = self.batch_size
+        n_full = len(order) // bs
+        starts = [i * bs for i in range(n_full)]
+        if not self.drop_last and n_full * bs < len(order):
+            starts.append(n_full * bs)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for s in starts:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(order[s:s + bs]))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
