@@ -7,7 +7,16 @@ XLA CPU devices (SURVEY.md §4.4). Must run before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-set (the machine presets JAX_PLATFORMS=axon for the TPU tunnel;
+# tests must run on the simulated CPU mesh regardless)
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# pytest plugins (jaxtyping) import jax before this conftest runs, and jax
+# snapshots JAX_PLATFORMS at import — override via config as well (the backend
+# itself is not initialized until first use, so this still takes effect).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

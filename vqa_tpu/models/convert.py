@@ -1,0 +1,166 @@
+"""PyTorch ``.pth`` <-> flax pytree weight converters.
+
+Maps reference checkpoints (state_dict naming from /root/reference/model.py)
+and torchvision ``vgg11_bn`` weight files onto this framework's parameter
+trees, handling the layout changes of the TPU-native design:
+
+- Linear: torch ``weight [out, in]`` -> kernel ``[in, out]`` (transpose);
+- Conv2d: OIHW -> HWIO; Conv1d: [out, in, k] -> [k, in, out];
+- GRU/LSTM: ``weight_ih_l0 [G*H, E]`` -> ``w_ih [E, G*H]`` (gate column order
+  preserved: GRU (r,z,n), LSTM (i,f,g,o));
+- the first VGG classifier Linear's 25088-dim input axis is permuted from
+  CHW to HWC flatten order;
+- BatchNorm weight/bias -> params scale/bias; running_mean/var ->
+  batch_stats mean/var (num_batches_tracked dropped);
+- the co-attention ``W_b`` (created but unused in the reference forward,
+  model.py:347,377) is dropped on import.
+
+Inputs are mappings ``name -> numpy array`` — use :func:`load_torch_state_dict`
+to read a ``.pth`` via torch (CPU) and detach to numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# torchvision vgg11_bn features-Sequential indices of the 8 convs; BN is i+1
+VGG11_TORCH_CONV_IDX = (0, 4, 8, 11, 15, 18, 22, 25)
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """Load a .pth file into a {name: np.ndarray} dict (requires torch, CPU)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def _linear(sd, key):
+    return {"kernel": np.ascontiguousarray(sd[f"{key}.weight"].T),
+            "bias": sd[f"{key}.bias"].copy()}
+
+
+def _conv2d(sd, key):
+    return {"kernel": np.ascontiguousarray(sd[f"{key}.weight"].transpose(2, 3, 1, 0)),
+            "bias": sd[f"{key}.bias"].copy()}
+
+
+def _bn(sd, key):
+    params = {"scale": sd[f"{key}.weight"].copy(), "bias": sd[f"{key}.bias"].copy()}
+    stats = {"mean": sd[f"{key}.running_mean"].copy(),
+             "var": sd[f"{key}.running_var"].copy()}
+    return params, stats
+
+
+def _rnn(sd, key):
+    return {"w_ih": np.ascontiguousarray(sd[f"{key}.weight_ih_l0"].T),
+            "w_hh": np.ascontiguousarray(sd[f"{key}.weight_hh_l0"].T),
+            "b_ih": sd[f"{key}.bias_ih_l0"].copy(),
+            "b_hh": sd[f"{key}.bias_hh_l0"].copy()}
+
+
+def _conv1d(sd, key):
+    return {"kernel": np.ascontiguousarray(sd[f"{key}.weight"].transpose(2, 1, 0)),
+            "bias": sd[f"{key}.bias"].copy()}
+
+
+def _vgg_head_fc0(sd, key):
+    """First classifier Linear: permute the flattened input axis CHW -> HWC."""
+    w = sd[f"{key}.weight"]                         # [4096, 512*7*7] in CHW order
+    w = w.reshape(w.shape[0], 512, 7, 7).transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+    return {"kernel": np.ascontiguousarray(w.T), "bias": sd[f"{key}.bias"].copy()}
+
+
+def vgg_features_from_torch(sd, prefix: str):
+    """torch ``<prefix>.{i}`` conv/BN stack -> VGGFeatures params + batch_stats."""
+    params, stats = {}, {}
+    for n, i in enumerate(VGG11_TORCH_CONV_IDX):
+        params[f"conv{n}"] = _conv2d(sd, f"{prefix}.{i}")
+        bn_p, bn_s = _bn(sd, f"{prefix}.{i + 1}")
+        params[f"bn{n}"] = bn_p
+        stats[f"bn{n}"] = bn_s
+    return params, stats
+
+
+def vgg11_encoder_from_torchvision(sd, include_head: bool = True):
+    """torchvision ``vgg11_bn`` state_dict -> VGG11Encoder (params, batch_stats).
+
+    Used for ``--vgg_wts_path`` pretrained weights (reference model.py:86-90).
+    """
+    feat_p, feat_s = vgg_features_from_torch(sd, "features")
+    params = {"features": feat_p}
+    stats = {"features": feat_s}
+    if include_head:
+        params["classifier"] = {"fc0": _vgg_head_fc0(sd, "classifier.0"),
+                                "fc1": _linear(sd, "classifier.3")}
+    return params, stats
+
+
+def baseline_from_torch(sd):
+    """Reference ``VQABaselineNet.state_dict()`` -> (params, batch_stats)."""
+    feat_p, feat_s = vgg_features_from_torch(sd, "image_encoder.vgg11_encoder.conv_layers")
+    params = {
+        "image_encoder": {
+            "vgg11_encoder": {
+                "features": feat_p,
+                "classifier": {
+                    # fc_layers = Sequential(Flatten, Linear, ReLU, Dropout,
+                    # Linear, ReLU, Dropout) -> Linears at indices 1 and 4
+                    "fc0": _vgg_head_fc0(sd, "image_encoder.vgg11_encoder.fc_layers.1"),
+                    "fc1": _linear(sd, "image_encoder.vgg11_encoder.fc_layers.4"),
+                },
+            },
+            "embedding_fc": _linear(sd, "image_encoder.embedding_layer.0"),
+        },
+        "question_encoder": {
+            "word_embedding": {
+                "embedding": sd["question_encoder.word_embedding.0.weight"].copy()},
+            "gru": _rnn(sd, "question_encoder.gru"),
+            "embedding_fc": _linear(sd, "question_encoder.embedding_layer.0"),
+        },
+        "mlp_fc": _linear(sd, "mlp.0"),
+        "fc_final": _linear(sd, "fc_final"),
+    }
+    batch_stats = {"image_encoder": {"vgg11_encoder": {"features": feat_s}}}
+    return params, batch_stats
+
+
+def coattention_from_torch(sd):
+    """Reference ``HierarchicalCoAttentionNet.state_dict()`` -> (params, batch_stats)."""
+    feat_p, feat_s = vgg_features_from_torch(sd, "image_encoder.vgg11_encoder")
+    pcp = {}
+    for gram in ("unigram", "bigram", "trigram"):
+        # Sequential(ConstantPad1d, Conv1d, Tanh) -> conv at index 1
+        c = _conv1d(sd, f"question_encoder.phrase_conv_pool.conv_{gram}.1")
+        pcp[f"conv_{gram}_kernel"] = c["kernel"]
+        pcp[f"conv_{gram}_bias"] = c["bias"]
+
+    co = {}
+    for name in ("W_v", "W_q", "w_v", "w_q"):  # W_b intentionally dropped
+        lin = _linear(sd, f"co_attention.{name}")
+        co[f"{name}_kernel"] = lin["kernel"]
+        co[f"{name}_bias"] = lin["bias"]
+
+    params = {
+        "image_encoder": {"vgg11_encoder": {"features": feat_p}},
+        "question_encoder": {
+            "word_embedding": {
+                "embedding": sd["question_encoder.word_embedding.weight"].copy()},
+            "phrase_conv_pool": pcp,
+            "sentence_lstm": _rnn(sd, "question_encoder.sentence_lstm"),
+        },
+        "co_attention": co,
+        "mlp_classify": {w: _linear(sd, f"mlp_classify.{w}")
+                         for w in ("W_w", "W_p", "W_s", "W_h")},
+    }
+    batch_stats = {"image_encoder": {"vgg11_encoder": {"features": feat_s}}}
+    return params, batch_stats
+
+
+def from_torch(model_name: str, sd):
+    """Dispatch by model name ('baseline' | 'attention')."""
+    if model_name == "baseline":
+        return baseline_from_torch(sd)
+    if model_name == "attention":
+        return coattention_from_torch(sd)
+    raise ValueError(f"unknown model {model_name!r}")

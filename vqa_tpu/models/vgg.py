@@ -1,0 +1,140 @@
+"""VGG-11 with BatchNorm, NHWC, as a flax module.
+
+TPU-native re-implementation of the torchvision ``vgg11_bn`` backbone the
+reference uses as its image encoder (/root/reference/model.py:86-105,
+229-243). Differences from the torch original, by design:
+
+- NHWC data layout (TPU-preferred); converted ``.pth`` weights are permuted
+  accordingly (see ``vqa_tpu.models.convert``), including the first classifier
+  Linear whose 25088-dim input ordering changes from CHW to HWC;
+- BatchNorm runs in running-average mode whenever the backbone is frozen
+  (the reference keeps frozen VGG in batch-stats mode during training because
+  ``model.train()`` flips BN even on requires_grad=False layers — a quirk we
+  deliberately fix; ``bn_use_batch_stats=True`` restores it);
+- compute dtype is configurable (bf16 on TPU), parameters stay fp32.
+
+Init parity: conv kernels kaiming_normal(fan_out, relu), BN scale=1/bias=0,
+classifier Linear N(0, 0.01)/bias 0 — the torchvision ``_initialize_weights``
+scheme — so training-from-scratch dynamics match when no pretrained weights
+are supplied.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+# torchvision configuration "A": channels per conv, 'M' = 2x2/2 max-pool
+VGG11_CFG = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
+
+
+def conv_kaiming_normal_init(key, shape, dtype=jnp.float32):
+    """kaiming_normal(mode=fan_out, nonlinearity=relu) for HWIO conv kernels."""
+    kh, kw, _, out_ch = shape
+    fan_out = kh * kw * out_ch
+    std = (2.0 / fan_out) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def classifier_init(key, shape, dtype=jnp.float32):
+    """torchvision VGG classifier init: N(0, 0.01)."""
+    return jax.random.normal(key, shape, dtype) * 0.01
+
+
+def adaptive_avg_pool(x, out_hw: tuple[int, int]):
+    """torch AdaptiveAvgPool2d semantics on NHWC input (static shapes).
+
+    Window i spans [floor(i*H/out), ceil((i+1)*H/out)). Identity when the
+    input already has the target spatial shape (the 224->7x7 baseline path,
+    reference model.py:96-97).
+    """
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    rows = []
+    for i in range(oh):
+        h0, h1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+        cols = []
+        for j in range(ow):
+            w0, w1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+            cols.append(jnp.mean(x[:, h0:h1, w0:w1, :], axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # [B, oh, ow, C]
+
+
+class VGGFeatures(nn.Module):
+    """The conv stack (torch ``vgg11_bn().features``): 5 pool stages.
+
+    224x224 -> [B, 7, 7, 512]; 448x448 -> [B, 14, 14, 512].
+    Module names ``conv{i}`` / ``bn{i}`` index convs 0..7 for the converter.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_stats: bool = True):
+        conv_idx = 0
+        x = x.astype(self.dtype)
+        for v in VGG11_CFG:
+            if v == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.Conv(v, (3, 3), padding=1, kernel_init=conv_kaiming_normal_init,
+                            bias_init=nn.initializers.zeros, dtype=self.dtype,
+                            name=f"conv{conv_idx}")(x)
+                x = nn.BatchNorm(use_running_average=use_running_stats, momentum=0.9,
+                                 epsilon=1e-5, dtype=self.dtype,
+                                 name=f"bn{conv_idx}")(x)
+                x = nn.relu(x)
+                conv_idx += 1
+        return x
+
+
+class VGGClassifierHead(nn.Module):
+    """torch ``vgg11_bn().classifier[:-1]``: FC-4096 x2 with ReLU+Dropout.
+
+    Input is the flattened NHWC 7x7x512 map; the final FC-1000 of torchvision
+    is dropped exactly as the reference does (model.py:93).
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        x = x.reshape(b, -1)  # [B, 7*7*512] in HWC order
+        x = nn.Dense(4096, kernel_init=classifier_init, bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, name="fc0")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(4096, kernel_init=classifier_init, bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return x  # [B, 4096]
+
+
+class VGG11Encoder(nn.Module):
+    """features (+ avgpool + FC head) — the reference's two VGG uses.
+
+    ``include_head=True``: 224 images -> 4096-d vector (baseline encoder,
+    model.py:93-98). ``include_head=False``: feature map only (co-attention
+    encoder, model.py:236).
+    """
+
+    include_head: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, use_running_stats: bool = True):
+        x = VGGFeatures(dtype=self.dtype, name="features")(x, use_running_stats)
+        if self.include_head:
+            x = adaptive_avg_pool(x, (7, 7))
+            x = VGGClassifierHead(dtype=self.dtype, name="classifier")(x, train)
+        return x
