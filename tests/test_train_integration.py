@@ -1,0 +1,141 @@
+"""End-to-end training-driver tests (CPU, tiny shapes, synthetic images).
+
+The integration contract from SURVEY.md §4.5: training smoke (loss finite &
+decreasing on a learnable toy problem), checkpoint save/restore resumes the
+step counter exactly, eval metrics computed, log artifacts written.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def toy_data(tmp_path_factory):
+    """A learnable toy dataset: the answer is predictable from the question."""
+    root = tmp_path_factory.mktemp("toy")
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(64):
+        kind = rng.integers(0, 2)
+        if kind == 0:
+            q, a = "is,the,cat,black", "yes"
+        else:
+            q, a = "what,color,is,the,dog", "brown"
+        lines.append(f"img{i}.jpg\t{q}\t{a}")
+    data_file = root / "train.txt"
+    data_file.write_text("\n".join(lines) + "\n")
+
+    from vqa_tpu.vocab import save_vocab
+    vocab_file = root / "vocab.pkl"
+    save_vocab(str(data_file), str(vocab_file), min_word_count=1, K=3)
+    return {"root": str(root), "data": str(data_file), "vocab": str(vocab_file)}
+
+
+def run_main(argv):
+    from vqa_tpu.main import main
+    main(argv)
+
+
+BASE_ARGS = [
+    "--mode", "train", "--model", "baseline",
+    "--batch_size", "8", "--num_cls", "3", "--num_workers", "2",
+    "--synthetic_images", "true", "--image_size", "32", "--opt_lvl", "0",
+    "--log_interval", "4", "--val_size", "16", "--seed", "1",
+]
+
+
+class TestTrainDriver:
+    def test_train_smoke_and_artifacts(self, toy_data):
+        expt = os.path.join(toy_data["root"], "expt")
+        run_main(BASE_ARGS + [
+            "--expt_dir", expt, "--expt_name", "e", "--run_name", "r",
+            "--train_img", toy_data["root"], "--train_file", toy_data["data"],
+            "--val_img", toy_data["root"], "--val_file", toy_data["data"],
+            "--vocab_file", toy_data["vocab"],
+            "--num_epochs", "2", "--save_interval", "8"])
+
+        log_dir = os.path.join(expt, "e", "r")
+        files = os.listdir(log_dir)
+        assert "train_log.txt" in files
+        assert "model_8.ckpt" in files and "model_16.ckpt" in files
+        assert any(f.startswith("events.out.tfevents") for f in files)
+        log = open(os.path.join(log_dir, "train_log.txt")).read()
+        assert "--mode train" in log and "Validation Accuracy" in log
+
+    def test_resume_restores_step(self, toy_data):
+        expt = os.path.join(toy_data["root"], "expt2")
+        args = BASE_ARGS + [
+            "--expt_dir", expt, "--expt_name", "e", "--run_name", "r",
+            "--train_img", toy_data["root"], "--train_file", toy_data["data"],
+            "--vocab_file", toy_data["vocab"], "--save_interval", "8"]
+        run_main(args + ["--num_epochs", "1"])
+        log_dir = os.path.join(expt, "e", "r")
+        assert "model_8.ckpt" in os.listdir(log_dir)
+
+        # resume: step counter continues from 8, so one more epoch (8 steps)
+        # saves model_16 (the reference would restart at step 0)
+        run_main(args + ["--num_epochs", "1", "--model_ckpt", "model_8.ckpt"])
+        assert "model_16.ckpt" in os.listdir(log_dir)
+
+    def test_loss_decreases_on_learnable_toy(self, toy_data):
+        """Question-only signal: loss should drop substantially in 30 steps."""
+        from vqa_tpu.config import build_model
+        from vqa_tpu.data import DataLoader, VQASamples, make_image_preprocessor
+        from vqa_tpu.train.state import create_train_state, make_optimizer
+        from vqa_tpu.train.steps import make_train_step
+        from vqa_tpu.vocab import Vocab
+
+        v = Vocab.load(toy_data["vocab"])
+        model, _ = build_model("baseline", v.size, v.num_labels, opt_lvl=0)
+        s = VQASamples(toy_data["data"], toy_data["root"], v.word2idx,
+                       v.label2idx, v.max_seq_length)
+        dl = DataLoader(s, 16, host_size=32, synthetic_images=True,
+                        num_workers=2, seed=0)
+        pre = make_image_preprocessor(32)
+
+        b0 = next(iter(dl))
+        init_batch = {"image": pre(b0["image"][:1]),
+                      "question": jnp.asarray(b0["question"][:1]),
+                      "ques_len": jnp.asarray(b0["ques_len"][:1])}
+        state = create_train_state(model, jax.random.PRNGKey(0), init_batch,
+                                   learning_rate=3e-4)
+        tx = make_optimizer(3e-4, state.params, False)
+        step = make_train_step(model, tx)
+
+        losses = []
+        for _ in range(5):
+            for batch in dl:
+                db = {"image": pre(batch["image"]),
+                      "question": jnp.asarray(batch["question"]),
+                      "ques_len": jnp.asarray(batch["ques_len"]),
+                      "label": jnp.asarray(batch["label"])}
+                state, m = step(state, db)
+                losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.5, f"no learning: {losses[:3]} -> {losses[-3:]}"
+
+    def test_num_cls_vocab_mismatch_fails_loudly(self, toy_data):
+        # a vocab with 9 answer labels + UNKNOWN, but --num_cls 2 -> labels
+        # out of range for a 3-way classifier: must fail loudly, not NaN
+        big = {"word2idx": {"<PAD>": 0, "<UNKNOWN>": 1, "a": 2},
+               "idx2word": {0: "<PAD>", 1: "<UNKNOWN>", 2: "a"},
+               "label2idx": {**{"UNKNOWN": 0}, **{f"ans{i}": i for i in range(1, 10)}},
+               "idx2label": {**{0: "UNKNOWN"}, **{i: f"ans{i}" for i in range(1, 10)}},
+               "max_seq_length": 5}
+        vocab_path = os.path.join(toy_data["root"], "big_vocab.pkl")
+        with open(vocab_path, "wb") as f:
+            pickle.dump(big, f)
+        with pytest.raises(SystemExit, match="num_cls"):
+            run_main([
+                "--mode", "train", "--model", "baseline",
+                "--batch_size", "4", "--num_cls", "2", "--num_workers", "1",
+                "--synthetic_images", "true", "--image_size", "32",
+                "--expt_dir", toy_data["root"], "--expt_name", "x", "--run_name", "y",
+                "--train_img", toy_data["root"], "--train_file", toy_data["data"],
+                "--vocab_file", vocab_path, "--num_epochs", "1"])

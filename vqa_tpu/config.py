@@ -1,0 +1,85 @@
+"""Model-config registry + flag coercers.
+
+Typed replacement for the reference's hardcoded config dict
+(/root/reference/main.py:388-418) and flag helpers (utils.py:294-303), with
+the same architecture hyperparameters per model name:
+
+- ``baseline``: 224x224 images, word_emb 300, hidden 1024;
+- ``attention``: 448x448 images, word_emb 512, hidden 512, mlp_dim 1024;
+- ``bert``: accepted by the reference CLI but missing from its registry
+  (KeyError; README "TO-DO") — implemented here for real with a
+  transformer question encoder (SURVEY.md §7.8).
+
+The reference's Apex ``--opt_lvl`` O0-O3 maps onto a TPU precision policy:
+O0 = pure fp32; O1/O2/O3 = bf16 compute with fp32 params (bf16 needs no loss
+scaling on TPU, so the three mixed levels collapse to one policy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+
+def str2bool(v: str) -> bool:
+    v = v.lower()
+    assert v in ("true", "false")
+    return v == "true"
+
+
+def int_min_two(k) -> int:
+    k = int(k)
+    assert k >= 2, "Ensure k >= 2"
+    return k
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    name: str
+    image_size: int
+    question_params: dict = field(default_factory=dict)
+    mlp_dim: int | None = None
+
+
+MODEL_CONFIGS = {
+    "baseline": ModelConfig(
+        name="baseline", image_size=224,
+        question_params=dict(word_emb_dim=300, hidden_dim=1024)),
+    "attention": ModelConfig(
+        name="attention", image_size=448,
+        question_params=dict(word_emb_dim=512, hidden_dim=512), mlp_dim=1024),
+    "bert": ModelConfig(
+        name="bert", image_size=224,
+        question_params=dict(hidden_dim=768, num_layers=6, num_heads=12)),
+}
+
+
+def compute_dtype_for_opt_lvl(opt_lvl: int):
+    """Apex O0-O3 -> TPU precision policy (fp32 vs bf16 compute)."""
+    return jnp.float32 if opt_lvl == 0 else jnp.bfloat16
+
+
+def build_model(model_name: str, vocab_size: int, num_classes: int, *,
+                vgg_trainable: bool = False, opt_lvl: int = 1,
+                use_pallas: bool = False):
+    """Instantiate a model by registry name (reference main.py:162-165)."""
+    cfg = MODEL_CONFIGS[model_name]
+    dtype = compute_dtype_for_opt_lvl(opt_lvl)
+    if model_name == "baseline":
+        from .models import VQABaselineNet
+        return VQABaselineNet(vocab_size=vocab_size, K=num_classes,
+                              vgg_trainable=vgg_trainable, dtype=dtype,
+                              **cfg.question_params), cfg
+    if model_name == "attention":
+        from .models import HierarchicalCoAttentionNet
+        return HierarchicalCoAttentionNet(
+            vocab_size=vocab_size, K=num_classes, mlp_dim=cfg.mlp_dim,
+            vgg_trainable=vgg_trainable, use_pallas=use_pallas, dtype=dtype,
+            **cfg.question_params), cfg
+    if model_name == "bert":
+        from .models.bert import VQABertNet
+        return VQABertNet(vocab_size=vocab_size, K=num_classes,
+                          vgg_trainable=vgg_trainable, dtype=dtype,
+                          **cfg.question_params), cfg
+    raise KeyError(model_name)

@@ -121,14 +121,24 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put that gives up when the consumer is gone, so an
+            # abandoned iterator never leaves this thread blocked forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for s in starts:
-                    if stop.is_set():
+                    if not put_or_stop(self._make_batch(order[s:s + bs])):
                         return
-                    q.put(self._make_batch(order[s:s + bs]))
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -1,0 +1,334 @@
+"""Train/eval CLI — flag-compatible with the reference's ``main.py``.
+
+Every reference flag is accepted with the same name, type, default, and
+observable behavior (/root/reference/main.py:34-78): log-dir layout
+``expt_dir/expt_name/run_name``, ``train_log.txt`` flag dump, TensorBoard
+tags, ``model_<step>`` checkpoints, the same console format strings, periodic
++ epoch-end validation with the reference's metric definition.
+
+Beyond-reference capabilities (all opt-in or invisible by default):
+- ``--mode test`` is implemented (the reference raises NotImplementedError,
+  main.py:286-287): evaluates a checkpoint on ``--val_file`` and can dump
+  predictions;
+- full-state checkpoints -> exact resume (optimizer/step/rng restored);
+  ``--model_ckpt`` also accepts reference ``.pth`` weight files;
+- ``--num_devices`` shards the batch over a data-parallel mesh (ICI);
+- ``--synthetic_images``/``--host_size`` control the input pipeline when the
+  COCO archive is absent;
+- ``--use_pallas`` routes co-attention through the fused Pallas kernel.
+
+GPU-only reference flags (``--gpu_id``) are accepted and ignored with a note,
+keeping launch scripts working.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import build_model, compute_dtype_for_opt_lvl, int_min_two, str2bool
+from .data import DataLoader, VQASamples, make_image_preprocessor
+from .parallel.mesh import get_mesh, replicate_to_mesh, shard_batch
+from .train.checkpoint import load_any, save_checkpoint
+from .train.logging import (ETAEstimator, make_summary_writer, print_and_log,
+                            setup_logs_file)
+from .train.state import create_train_state, make_optimizer
+from .train.steps import compute_validation_metrics, make_eval_step, make_train_step
+from .vocab import Vocab
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Visual Question Answering")
+
+    # Experiment params (reference main.py:37-41)
+    parser.add_argument("--mode", type=str, required=True, choices=["train", "test"],
+                        help="train or test mode")
+    parser.add_argument("--expt_dir", type=str, required=True,
+                        help="root directory to save model & summaries")
+    parser.add_argument("--expt_name", type=str, required=True,
+                        help="expt_dir/expt_name: organize experiments")
+    parser.add_argument("--run_name", type=str, required=True,
+                        help="expt_dir/expt_name/run_name: organize training runs")
+    parser.add_argument("--model", type=str, required=True,
+                        choices=["baseline", "attention", "bert"], help="VQA model")
+
+    # Data params (main.py:44-48)
+    parser.add_argument("--train_img", type=str, help="path to training images directory")
+    parser.add_argument("--train_file", type=str, help="training dataset file")
+    parser.add_argument("--val_img", type=str, help="path to validation images directory")
+    parser.add_argument("--val_file", type=str, help="validation dataset file")
+    parser.add_argument("--num_cls", "-K", type=int_min_two, default=1000,
+                        help="top K answers (labels); min=2")
+
+    # Vocab params (main.py:51)
+    parser.add_argument("--vocab_file", type=str,
+                        help="vocabulary pickle file (gen. by prepare_data.py)")
+
+    # Training params (main.py:54-59)
+    parser.add_argument("--batch_size", "-bs", type=int, default=8, help="batch size")
+    parser.add_argument("--num_epochs", "-ep", type=int, default=50, help="number of epochs")
+    parser.add_argument("--learning_rate", "-lr", type=float, default=1e-4,
+                        help="initial learning rate")
+    parser.add_argument("--log_interval", type=int, default=100,
+                        help="interval size for logging training summaries")
+    parser.add_argument("--save_interval", type=int, default=3000,
+                        help="save model after `n` weight update steps")
+    parser.add_argument("--val_size", type=int, default=10000,
+                        help="validation set size for evaluating accuracy")
+
+    # Evaluation params (main.py:62)
+    parser.add_argument("--K_eval", type=int, default=1000,
+                        help="top-K labels during evaluation/inference")
+
+    # Model params (main.py:65-67)
+    parser.add_argument("--model_ckpt", type=str,
+                        help="resume training/perform inference; e.g. model_1000.ckpt or .pth")
+    parser.add_argument("--vgg_wts_path", type=str,
+                        help="VGG-11 (bn) pre-trained weights (.pth) file")
+    parser.add_argument("--vgg_train", type=str2bool, default="false",
+                        help="whether to train the VGG encoder")
+
+    # Device params (main.py:72-73) — gpu_id kept for script compat, ignored
+    parser.add_argument("--gpu_id", type=int, default=0,
+                        help="(GPU flag, ignored on TPU; kept for script compatibility)")
+    parser.add_argument("--opt_lvl", type=int, default=1, choices=[0, 1, 2, 3],
+                        help="precision: 0=fp32, 1-3=bf16 compute (Apex O-level analog)")
+
+    # Misc params (main.py:76)
+    parser.add_argument("--num_workers", type=int, default=1,
+                        help="number of worker threads for host image decode")
+
+    # --- TPU-native extensions (not in the reference) ---
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="data-parallel devices in the mesh (1 = single chip)")
+    parser.add_argument("--use_pallas", type=str2bool, default="false",
+                        help="fused Pallas co-attention kernel (attention model)")
+    parser.add_argument("--synthetic_images", type=str2bool, default="false",
+                        help="deterministic synthetic images when files are missing")
+    parser.add_argument("--host_size", type=int, default=0,
+                        help="host-side decode size (0 = model image size)")
+    parser.add_argument("--seed", type=int, default=0, help="global RNG seed")
+    parser.add_argument("--image_size", type=int, default=0,
+                        help="override model input resolution (0 = per-model default)")
+    parser.add_argument("--test_out", type=str,
+                        help="test mode: write predictions (img, question, answer) here")
+    return parser
+
+
+def _device_batch(batch, preprocess, mesh=None):
+    out = {"image": preprocess(batch["image"]),
+           "question": jnp.asarray(batch["question"]),
+           "ques_len": jnp.asarray(batch["ques_len"]),
+           "label": jnp.asarray(batch["label"])}
+    if mesh is not None and mesh.size > 1:
+        out = shard_batch(out, mesh)
+    return out
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    print(f"Selected Device(s): {jax.devices()[:args.num_devices]}")
+
+    vocab = Vocab.load(args.vocab_file)
+    print(f"Vocabulary loaded from {args.vocab_file}")
+
+    num_classes = args.num_cls + 1  # +1 for UNKNOWN (reference main.py:155)
+    if vocab.num_labels > num_classes:
+        # label ids >= num_classes would silently NaN the loss; fail loudly
+        raise SystemExit(
+            f"--num_cls {args.num_cls} is smaller than the vocab's answer set "
+            f"({vocab.num_labels - 1} labels + UNKNOWN). Rebuild the vocab with "
+            f"-K {args.num_cls} or pass --num_cls {vocab.num_labels - 1}.")
+    model, cfg = build_model(args.model, vocab.size, num_classes,
+                             vgg_trainable=args.vgg_train, opt_lvl=args.opt_lvl,
+                             use_pallas=args.use_pallas)
+    image_size = args.image_size or cfg.image_size
+    host_size = args.host_size or image_size
+    compute_dtype = compute_dtype_for_opt_lvl(args.opt_lvl)
+    preprocess = make_image_preprocessor(image_size, compute_dtype)
+
+    log_dir = os.path.join(args.expt_dir, args.expt_name, args.run_name)
+    os.makedirs(log_dir, exist_ok=True)
+
+    mesh = get_mesh(args.num_devices) if args.num_devices > 1 else None
+
+    def make_loader(data_file, img_dir, shuffle=True):
+        samples = VQASamples(data_file, img_dir, vocab.word2idx, vocab.label2idx,
+                             vocab.max_seq_length)
+        loader = DataLoader(samples, args.batch_size, host_size=host_size,
+                            shuffle=shuffle, drop_last=True,
+                            num_workers=args.num_workers, seed=args.seed,
+                            synthetic_images=args.synthetic_images)
+        return samples, loader
+
+    if args.mode == "train":
+        train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh)
+    else:
+        test(args, model, vocab, preprocess, make_loader, log_dir)
+
+
+def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=None):
+    print(f"Training Log Directory: {log_dir}\n")
+    writer = make_summary_writer(log_dir)
+    log_file = setup_logs_file(vars(args), log_dir)
+
+    train_dataset, train_loader = make_loader(args.train_file, args.train_img)
+    print(f"Question Vocabulary Size: {vocab.size} \n\n")
+    print(f"Train Data Size: {len(train_dataset)}")
+
+    val_dataset = val_loader = None
+    if args.val_file:
+        val_dataset, val_loader = make_loader(args.val_file, args.val_img)
+        print_and_log(
+            f"Validation Data Size: {len(val_dataset)}\n"
+            f"Validation Accuracy is computed using {args.val_size} samples. "
+            f"See --val_size\n", log_file)
+
+    # Pretrained VGG weights (reference main.py:395-398; no silent fallback to
+    # a hardcoded path — random init with a notice when absent)
+    pretrained_vgg = None
+    if args.vgg_wts_path:
+        from .models.convert import load_torch_state_dict, vgg11_encoder_from_torchvision
+        sd = load_torch_state_dict(args.vgg_wts_path)
+        pretrained_vgg = vgg11_encoder_from_torchvision(
+            sd, include_head=(args.model != "attention"))
+        print_and_log(f"Loaded VGG weights from {args.vgg_wts_path}", log_file)
+    elif args.model in ("baseline", "attention"):
+        print_and_log("NOTE: no --vgg_wts_path given; VGG starts from random "
+                      "init (pretrained download is unavailable here)", log_file)
+
+    # Initialize state from one sample batch's shapes
+    sample = next(iter(train_loader))
+    init_batch = {"image": preprocess(sample["image"][:1]),
+                  "question": jnp.asarray(sample["question"][:1]),
+                  "ques_len": jnp.asarray(sample["ques_len"][:1])}
+    rng = jax.random.PRNGKey(args.seed)
+    state = create_train_state(model, rng, init_batch, args.learning_rate,
+                               vgg_trainable=args.vgg_train,
+                               pretrained_vgg=pretrained_vgg)
+
+    if args.model_ckpt:
+        ckpt_path = os.path.join(log_dir, args.model_ckpt)
+        state = load_any(ckpt_path, state, args.model)
+        print_and_log(f"Model successfully loaded from {ckpt_path}"
+                      "\nResuming Training...", log_file)
+
+    tx = make_optimizer(args.learning_rate, state.params, args.vgg_train)
+    train_step = make_train_step(model, tx, vgg_trainable=args.vgg_train)
+    eval_step = make_eval_step(model)
+
+    if mesh is not None:
+        state = replicate_to_mesh(state, mesh)
+
+    steps_per_epoch = len(train_loader)
+    eta = ETAEstimator(steps_per_epoch, args.num_epochs)
+    curr_step = int(state.step)
+
+    for epoch in range(args.num_epochs):
+        for batch in train_loader:
+            device_batch = _device_batch(batch, preprocess, mesh)
+            state, metrics = train_step(state, device_batch)
+
+            if (curr_step + 1) % args.log_interval == 0 or curr_step == 1:
+                if val_loader is not None:
+                    vm = compute_validation_metrics(
+                        eval_step, state.variables(), iter(val_loader), preprocess,
+                        args.batch_size, args.val_size)
+                    print_and_log(
+                        "Validation Accuracy: {:.2f} %  || Validation Loss: {:.4f}"
+                        .format(vm["accuracy"], vm["loss"]), log_file)
+                    writer.add_scalar("Val/Accuracy", vm["accuracy"], curr_step)
+                    writer.add_scalar("Val/Loss", vm["loss"], curr_step)
+
+                loss_val = float(metrics["loss"])
+                writer.add_scalar("Train/Loss", loss_val, curr_step)
+                elapsed, left = eta(curr_step)
+                print_and_log(
+                    "Epoch [{}/{}], Step [{}/{}], Loss: {:.4f} | time elapsed: "
+                    "{:.2f}h | time left: {:.2f}h".format(
+                        epoch + 1, args.num_epochs, curr_step + 1, steps_per_epoch,
+                        loss_val, elapsed, left), log_file)
+
+            if (curr_step + 1) % args.save_interval == 0:
+                print(f"Saving the model at the {curr_step + 1} step to "
+                      f"directory:{log_dir}")
+                save_checkpoint(state, log_dir, curr_step + 1)
+
+            curr_step += 1
+
+        if val_loader is not None:
+            vm = compute_validation_metrics(
+                eval_step, state.variables(), iter(val_loader), preprocess,
+                args.batch_size, len(val_dataset))
+            print_and_log(
+                "\nAfter {} epoch:\nValidation Accuracy: {:.2f} %  || "
+                "Validation Loss: {:.4f}\n".format(epoch + 1, vm["accuracy"],
+                                                   vm["loss"]), log_file)
+
+    writer.close()
+    log_file.close()
+
+
+def test(args, model, vocab, preprocess, make_loader, log_dir):
+    """Test/inference mode — implemented (reference raises NotImplementedError).
+
+    Evaluates ``--model_ckpt`` on ``--val_file`` with the reference metric
+    definition; optionally writes per-sample predictions to ``--test_out``.
+    """
+    if not args.val_file:
+        raise SystemExit("--mode test requires --val_file")
+    dataset, loader = make_loader(args.val_file, args.val_img, shuffle=False)
+
+    sample = next(iter(loader))
+    init_batch = {"image": preprocess(sample["image"][:1]),
+                  "question": jnp.asarray(sample["question"][:1]),
+                  "ques_len": jnp.asarray(sample["ques_len"][:1])}
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), init_batch,
+                               args.learning_rate, vgg_trainable=False)
+    if args.model_ckpt:
+        ckpt_path = args.model_ckpt if os.path.exists(args.model_ckpt) \
+            else os.path.join(log_dir, args.model_ckpt)
+        state = load_any(ckpt_path, state, args.model)
+        print(f"Model loaded from {ckpt_path}")
+    else:
+        print("WARNING: no --model_ckpt given; evaluating a randomly "
+              "initialized model")
+
+    eval_step = make_eval_step(model)
+    variables = state.variables()
+
+    num_correct = 0
+    total = 0
+    loss = 0.0
+    n_batches = 0
+    predictions = []
+    for batch in loader:
+        device_batch = _device_batch(batch, preprocess)
+        m = eval_step(variables, device_batch)
+        num_correct += int(m["num_correct"])
+        loss += float(m["loss"])
+        total += len(batch["label"])
+        n_batches += 1
+        if args.test_out:
+            preds = np.asarray(m["pred"])
+            predictions.extend(vocab.idx2label[int(p)] for p in preds)
+
+    accuracy = 100.0 * num_correct / max(total, 1)
+    print(f"Test Accuracy: {accuracy:.2f} %  || Test Loss: {loss / max(n_batches, 1):.4f} "
+          f"({total} samples)")
+
+    if args.test_out:
+        with open(args.test_out, "w") as f:
+            for pred in predictions:
+                f.write(pred + "\n")
+        print(f"Predictions written to {args.test_out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import Embedding, GRU, Linear
@@ -33,12 +34,17 @@ Dtype = Any
 class ImageBaselineEncoder(nn.Module):
     """224x224 image -> 1024-d embedding (reference model.py:41-105)."""
 
+    vgg_trainable: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_img, train: bool = False, use_running_stats: bool = True):
         x = VGG11Encoder(include_head=True, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
+        if not self.vgg_trainable:
+            # frozen backbone (reference model.py:57-59): also skip its
+            # backward pass entirely — grads would be discarded anyway
+            x = jax.lax.stop_gradient(x)
         # L2-normalize the 4096-d vector (model.py:71); fp32 for stability
         x = x.astype(jnp.float32)
         norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
@@ -72,12 +78,14 @@ class VQABaselineNet(nn.Module):
     K: int
     word_emb_dim: int = 300
     hidden_dim: int = 1024
+    vgg_trainable: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_img, x_ques, x_ques_len, train: bool = False,
                  use_running_stats: bool = True):
-        img_emb = ImageBaselineEncoder(dtype=self.dtype, name="image_encoder")(
+        img_emb = ImageBaselineEncoder(vgg_trainable=self.vgg_trainable,
+                                       dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats)
         ques_emb = QuestionBaselineEncoder(
             self.vocab_size, self.word_emb_dim, self.hidden_dim,

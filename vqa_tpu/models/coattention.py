@@ -42,12 +42,16 @@ class ImageCoAttentionEncoder(nn.Module):
     location s = h*14 + w — NHWC reshape yields the same order.
     """
 
+    vgg_trainable: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_img, train: bool = False, use_running_stats: bool = True):
         x = VGG11Encoder(include_head=False, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
+        if not self.vgg_trainable:
+            # frozen backbone (model.py:238-241): skip its backward too
+            x = jax.lax.stop_gradient(x)
         b, h, w, c = x.shape
         return x.reshape(b, h * w, c)                         # [B, S, 512]
 
@@ -214,6 +218,7 @@ class HierarchicalCoAttentionNet(nn.Module):
     word_emb_dim: int = 512
     hidden_dim: int = 512
     mlp_dim: int = 1024
+    vgg_trainable: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
@@ -224,8 +229,9 @@ class HierarchicalCoAttentionNet(nn.Module):
             self.vocab_size, self.word_emb_dim, self.hidden_dim,
             dtype=self.dtype, name="question_encoder")(x_ques, x_ques_lens)
 
-        x_img_features = ImageCoAttentionEncoder(dtype=self.dtype, name="image_encoder")(
-            x_img, train, use_running_stats)
+        x_img_features = ImageCoAttentionEncoder(
+            vgg_trainable=self.vgg_trainable, dtype=self.dtype,
+            name="image_encoder")(x_img, train, use_running_stats)
 
         x_img_attn, x_ques_attn = ParallelCoAttention(
             self.hidden_dim, use_pallas=self.use_pallas, dtype=self.dtype,

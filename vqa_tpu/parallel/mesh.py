@@ -1,0 +1,57 @@
+"""Device mesh + batch-parallel sharding over ICI.
+
+The reference is single-GPU (multi-GPU is a commented-out TODO,
+/root/reference/main.py:102-106); distributed execution is new capability
+here (SURVEY.md §5.8). Design: a 1-D ``data`` mesh; batches are sharded on
+their leading axis, the TrainState is replicated, and the jitted train step
+compiles under GSPMD — the global-mean loss makes XLA insert the gradient
+``psum`` over ICI automatically. No NCCL/MPI translation, no manual
+collectives.
+
+The same code path runs single-chip (mesh of 1), on a real TPU slice, or on
+the simulated 8-device CPU mesh used by tests and the driver's multi-chip
+dry-run.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def get_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(f"requested {num_devices} devices, have {len(devices)}")
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch on the mesh, split along the leading (batch) axis.
+
+    Requires batch size divisible by the mesh size (the loader's
+    ``drop_last`` plus a mesh-multiple batch size guarantee this).
+    """
+    sharding = batch_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Replicate a pytree (e.g. TrainState) onto every device of the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.device_put(tree, sharding)

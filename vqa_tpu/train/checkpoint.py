@@ -1,0 +1,78 @@
+"""Full-TrainState checkpointing with ``model_<step>`` naming.
+
+The reference saves ``torch.save(model.state_dict(), model_<step>.pth)`` —
+weights only, so resume restarts the optimizer, step counter, and RNG
+(/root/reference/main.py:168-176,260-263; SURVEY.md §5.4). Here a checkpoint
+is the complete TrainState (params + batch_stats + opt_state + step + rng)
+serialized with flax msgpack, so ``--model_ckpt`` resume is exact.
+
+Interop: ``load_any`` also accepts a reference-format ``.pth`` (weights-only;
+converted via ``vqa_tpu.models.convert``), so torch-trained weights can seed
+TPU training and parity tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import flax.serialization
+import jax
+
+from .state import TrainState
+
+CKPT_PREFIX = "model_"
+CKPT_SUFFIX = ".ckpt"
+
+
+def checkpoint_path(log_dir: str, step: int) -> str:
+    return os.path.join(log_dir, f"{CKPT_PREFIX}{step}{CKPT_SUFFIX}")
+
+
+def save_checkpoint(state: TrainState, log_dir: str, step: int | None = None) -> str:
+    step = int(state.step) if step is None else step
+    path = checkpoint_path(log_dir, step)
+    data = flax.serialization.to_bytes(state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic: no torn checkpoints on crash
+    return path
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore a full TrainState from a .ckpt written by save_checkpoint."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return flax.serialization.from_bytes(template, data)
+
+
+def load_any(path: str, template: TrainState, model_name: str) -> TrainState:
+    """Load either a full .ckpt (exact resume) or a reference .pth (weights only).
+
+    .pth restores params + batch_stats and keeps the fresh optimizer/step —
+    the same observable behavior as the reference's weights-only resume.
+    """
+    if path.endswith(".pth"):
+        from ..models.convert import from_torch, load_torch_state_dict
+
+        sd = load_torch_state_dict(path)
+        params, batch_stats = from_torch(model_name, sd)
+        params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+        batch_stats = jax.tree_util.tree_map(jax.numpy.asarray, batch_stats)
+        return template.replace(params=params, batch_stats=batch_stats)
+    return restore_checkpoint(path, template)
+
+
+def latest_checkpoint(log_dir: str) -> str | None:
+    """Highest-step model_<step>.ckpt in a run directory, if any."""
+    best = None
+    best_step = -1
+    for name in os.listdir(log_dir):
+        if name.startswith(CKPT_PREFIX) and name.endswith(CKPT_SUFFIX):
+            try:
+                step = int(name[len(CKPT_PREFIX):-len(CKPT_SUFFIX)])
+            except ValueError:
+                continue
+            if step > best_step:
+                best, best_step = os.path.join(log_dir, name), step
+    return best

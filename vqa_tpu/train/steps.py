@@ -1,0 +1,112 @@
+"""Jitted train/eval steps.
+
+The reference's per-step Python loop (forward -> CE loss -> AMP backward ->
+Adam, /root/reference/main.py:193-222) becomes a single donated, jitted
+function: one XLA program per step, no host round-trips except metric
+fetches at log intervals. Loss is softmax cross-entropy with integer labels
+== ``nn.CrossEntropyLoss`` (main.py:179,214), computed in fp32.
+
+BatchNorm policy: when the VGG backbone is trainable, train steps run BN in
+batch-stats mode and update the running stats (torch ``model.train()``
+semantics); when frozen (the default), BN uses running averages — see
+``vqa_tpu.models.vgg`` for why this deliberate fix of the reference quirk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cross_entropy_loss(logits, labels):
+    """Mean softmax CE in fp32 (matches torch CrossEntropyLoss reduction)."""
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels).mean()
+
+
+def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True):
+    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+
+    use_batch_stats_bn = vgg_trainable
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        kwargs = dict(train=True, use_running_stats=not use_batch_stats_bn,
+                      rngs={"dropout": dropout_rng})
+        if use_batch_stats_bn:
+            logits, updates = model.apply(
+                variables, batch["image"], batch["question"], batch["ques_len"],
+                mutable=["batch_stats"], **kwargs)
+            new_stats = updates["batch_stats"]
+        else:
+            logits = model.apply(variables, batch["image"], batch["question"],
+                                 batch["ques_len"], **kwargs)
+            new_stats = batch_stats
+        loss = cross_entropy_loss(logits, batch["label"])
+        return loss, (logits, new_stats)
+
+    def train_step(state, batch):
+        rng, dropout_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (logits, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, dropout_rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        accuracy = jnp.mean(
+            (jnp.argmax(logits, axis=-1) == batch["label"]).astype(jnp.float32))
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt_state,
+                                  rng=rng)
+        return new_state, {"loss": loss, "accuracy": accuracy}
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model):
+    """Build the jitted eval step: (variables, batch) -> per-batch metrics.
+
+    Mirrors ``compute_validation_metrics``'s inner loop (reference
+    main.py:301-335): eval mode (no dropout, BN running stats), argmax
+    correctness count + mean CE per batch.
+    """
+
+    def eval_step(variables, batch):
+        logits = model.apply(variables, batch["image"], batch["question"],
+                             batch["ques_len"], train=False, use_running_stats=True)
+        pred = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum((pred == batch["label"]).astype(jnp.int32))
+        loss = cross_entropy_loss(logits, batch["label"])
+        return {"num_correct": correct, "loss": loss, "pred": pred}
+
+    return jax.jit(eval_step)
+
+
+def compute_validation_metrics(eval_step, variables, val_iter, preprocess,
+                               batch_size: int, size: int) -> dict:
+    """Accuracy + loss over ``size`` validation samples.
+
+    Reproduces the reference metric definition exactly (main.py:290-351),
+    including its off-by-one: the loop breaks *after* processing batch
+    ``n_iters``, so ``n_iters + 1`` batches contribute while totals divide by
+    ``n_iters`` (SURVEY.md §3.5 — mirrored for metric parity).
+    """
+    n_iters = size // batch_size
+    loss = 0.0
+    num_correct = 0
+    for i, batch in enumerate(val_iter):
+        device_batch = dict(batch)
+        device_batch["image"] = preprocess(batch["image"])
+        m = eval_step(variables, device_batch)
+        num_correct += int(m["num_correct"])
+        loss += float(m["loss"])
+        if i >= n_iters:
+            break
+    total = n_iters * batch_size
+    return {"accuracy": 100.0 * num_correct / max(total, 1),
+            "loss": loss / max(n_iters, 1)}
