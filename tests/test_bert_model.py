@@ -1,0 +1,82 @@
+"""BERT-variant tests: shapes, jit, padding invariance, registry wiring."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.config import build_model
+from vqa_tpu.models.bert import BertQuestionEncoder, VQABertNet
+
+
+@pytest.fixture(scope="module")
+def small_bert():
+    enc = BertQuestionEncoder(vocab_size=50, hidden_dim=32, num_layers=2,
+                              num_heads=4, max_len=16)
+    ques = jnp.array([[5, 6, 7, 0, 0], [8, 9, 10, 11, 12]], jnp.int32)
+    lens = jnp.array([3, 5], jnp.int32)
+    vs = enc.init(jax.random.PRNGKey(0), ques, lens)
+    return enc, vs, ques, lens
+
+
+class TestBertEncoder:
+    def test_shapes(self, small_bert):
+        enc, vs, ques, lens = small_bert
+        out = enc.apply(vs, ques, lens)
+        assert out.shape == (2, 1024)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_pad_invariance(self, small_bert):
+        """Padded positions must not influence the embedding at all."""
+        enc, vs, ques, lens = small_bert
+        out1 = enc.apply(vs, ques, lens)
+        ques2 = ques.at[0, 3:].set(49)  # garbage in padded slots
+        # zero_pad_idx only zeroes id 0; mask must handle arbitrary pad junk
+        out2 = enc.apply(vs, ques2, lens)
+        np.testing.assert_allclose(out1[1], out2[1], atol=1e-6)
+        # row 0's pads changed: if masking works, output must be unchanged
+        np.testing.assert_allclose(out1[0], out2[0], atol=1e-5)
+
+    def test_jit(self, small_bert):
+        enc, vs, ques, lens = small_bert
+        out = jax.jit(enc.apply)(vs, ques, lens)
+        assert out.shape == (2, 1024)
+
+
+class TestVQABertNet:
+    def test_full_model_and_registry(self):
+        model, cfg = build_model("bert", vocab_size=50, num_classes=4, opt_lvl=0)
+        assert isinstance(model, VQABertNet)
+        assert cfg.image_size == 224
+        img = jnp.zeros((2, 64, 64, 3))
+        ques = jnp.array([[5, 6, 7, 0, 0], [8, 9, 10, 11, 12]], jnp.int32)
+        lens = jnp.array([3, 5], jnp.int32)
+        vs = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img, ques, lens)
+        out = model.apply(vs, img, ques, lens)
+        assert out.shape == (2, 4)
+
+    def test_train_step_learns(self):
+        """A few steps on a separable toy task reduce the loss."""
+        from vqa_tpu.train.state import create_train_state, make_optimizer
+        from vqa_tpu.train.steps import make_train_step
+
+        model = VQABertNet(vocab_size=20, K=2, hidden_dim=16, num_layers=1,
+                           num_heads=2)
+        rng = jax.random.PRNGKey(0)
+        img = jax.random.normal(rng, (8, 32, 32, 3))
+        ques = jnp.where(jnp.arange(8)[:, None] % 2 == 0,
+                         jnp.array([[3, 4, 5, 0]]), jnp.array([[6, 7, 8, 0]]))
+        lens = jnp.full((8,), 3, jnp.int32)
+        labels = (jnp.arange(8) % 2).astype(jnp.int32)
+
+        init_batch = {"image": img[:1], "question": ques[:1], "ques_len": lens[:1]}
+        state = create_train_state(model, rng, init_batch, 1e-3)
+        tx = make_optimizer(1e-3, state.params, False)
+        step = make_train_step(model, tx)
+        batch = {"image": img, "question": ques, "ques_len": lens, "label": labels}
+        losses = []
+        for _ in range(30):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.5, losses[::10]

@@ -1,0 +1,112 @@
+"""Data-parallel mesh tests on the simulated 8-device CPU mesh.
+
+The jit-under-GSPMD DP design (SURVEY.md §5.8): batch sharded on the leading
+axis, TrainState replicated, XLA inserts the gradient psum. These tests
+assert (a) the sharded step runs across all 8 devices, (b) DP results match
+single-device results bit-for-close, (c) the driver's dryrun path works.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.parallel.mesh import (DATA_AXIS, batch_sharding, get_mesh,
+                                   replicate_to_mesh, shard_batch)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices (conftest sets XLA flag)")
+    return jax.devices()[:8]
+
+
+@pytest.fixture(scope="module")
+def tiny_problem():
+    from vqa_tpu.models import HierarchicalCoAttentionNet
+    from vqa_tpu.train.state import create_train_state, make_optimizer
+    from vqa_tpu.train.steps import make_train_step
+
+    # hidden_dim must equal the VGG feature depth (512), as in the reference
+    model = HierarchicalCoAttentionNet(vocab_size=30, K=4, word_emb_dim=512,
+                                       hidden_dim=512, mlp_dim=128)
+    rng = jax.random.PRNGKey(0)
+    B, L = 16, 6
+    img = jax.random.normal(rng, (B, 32, 32, 3))
+    ques = jax.random.randint(rng, (B, L), 1, 30)
+    lens = jnp.full((B,), L, jnp.int32)
+    labels = jax.random.randint(rng, (B,), 0, 4)
+    batch = {"image": img, "question": ques, "ques_len": lens, "label": labels}
+
+    init_batch = {"image": img[:1], "question": ques[:1], "ques_len": lens[:1]}
+    state = create_train_state(model, rng, init_batch, 1e-3)
+    tx = make_optimizer(1e-3, state.params, False)
+    step = make_train_step(model, tx, donate=False)
+    return state, step, batch
+
+
+class TestMesh:
+    def test_mesh_shapes(self, eight_devices):
+        mesh = get_mesh(8)
+        assert mesh.size == 8
+        assert mesh.axis_names == (DATA_AXIS,)
+
+    def test_batch_sharded_across_devices(self, eight_devices):
+        mesh = get_mesh(8)
+        batch = {"x": np.arange(64, dtype=np.float32).reshape(16, 4)}
+        sharded = shard_batch(batch, mesh)
+        assert sharded["x"].sharding == batch_sharding(mesh)
+        assert len(sharded["x"].addressable_shards) == 8
+        # each device holds 2 rows
+        assert sharded["x"].addressable_shards[0].data.shape == (2, 4)
+
+    def test_mesh_too_big_raises(self):
+        with pytest.raises(ValueError):
+            get_mesh(10 ** 6)
+
+
+class TestDataParallelStep:
+    def test_dp_matches_single_device(self, eight_devices, tiny_problem):
+        state, step, batch = tiny_problem
+        # single device
+        s1, m1 = step(state, batch)
+        # 8-way DP
+        mesh = get_mesh(8)
+        state_r = replicate_to_mesh(state, mesh)
+        batch_s = shard_batch(batch, mesh)
+        s8, m8 = step(state_r, batch_s)
+
+        assert np.allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-5)
+        # params match after one step (grad psum == full-batch grad, up to
+        # cross-device reduction reassociation)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=5e-5)
+
+    def test_multi_step_dp(self, eight_devices, tiny_problem):
+        state, step, batch = tiny_problem
+        mesh = get_mesh(8)
+        state_r = replicate_to_mesh(state, mesh)
+        batch_s = shard_batch(batch, mesh)
+        losses = []
+        for _ in range(3):
+            state_r, m = step(state_r, batch_s)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert int(state_r.step) == 3
+
+
+class TestDryrunEntry:
+    def test_dryrun_multichip(self, eight_devices, capsys):
+        from __graft_entry__ import dryrun_multichip
+        dryrun_multichip(4)
+        assert "OK" in capsys.readouterr().out
+
+    def test_entry_compiles(self):
+        from __graft_entry__ import entry
+        fn, args = entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape[0] == args[1].shape[0]

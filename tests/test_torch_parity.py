@@ -330,3 +330,32 @@ class TestFullModelParity:
                            train=False, use_running_stats=True)
         assert_close(logits, logits_torch, atol=5e-3, rtol=1e-3,
                      what="coattention logits")
+
+
+class TestSpaceToDepthFirstStage:
+    """s2d_first rewrites conv0+pool as a phase conv — must be numerics-exact."""
+
+    def test_matches_standard_path(self):
+        import jax
+        import jax.numpy as jnp
+        from vqa_tpu.models.vgg import VGGFeatures
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3), jnp.float32)
+        m_std = VGGFeatures(s2d_first=False)
+        m_s2d = VGGFeatures(s2d_first=True)
+        vs = m_std.init(jax.random.PRNGKey(1), x)
+        a = m_std.apply(vs, x)
+        b = m_s2d.apply(vs, x)  # identical param tree
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_odd_size_falls_back(self):
+        import jax
+        import jax.numpy as jnp
+        from vqa_tpu.models.vgg import VGGFeatures
+
+        # odd spatial size cannot space-to-depth; the module must fall back
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 33, 33, 3), jnp.float32)
+        m = VGGFeatures(s2d_first=True)
+        vs = m.init(jax.random.PRNGKey(1), x)
+        out = m.apply(vs, x)
+        assert out.shape[-1] == 512

@@ -35,11 +35,13 @@ class ImageBaselineEncoder(nn.Module):
     """224x224 image -> 1024-d embedding (reference model.py:41-105)."""
 
     vgg_trainable: bool = False
+    s2d_first: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_img, train: bool = False, use_running_stats: bool = True):
-        x = VGG11Encoder(include_head=True, dtype=self.dtype,
+        x = VGG11Encoder(include_head=True, s2d_first=self.s2d_first,
+                         dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
         if not self.vgg_trainable:
             # frozen backbone (reference model.py:57-59): also skip its
@@ -79,12 +81,14 @@ class VQABaselineNet(nn.Module):
     word_emb_dim: int = 300
     hidden_dim: int = 1024
     vgg_trainable: bool = False
+    s2d_first: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_img, x_ques, x_ques_len, train: bool = False,
                  use_running_stats: bool = True):
         img_emb = ImageBaselineEncoder(vgg_trainable=self.vgg_trainable,
+                                       s2d_first=self.s2d_first,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats)
         ques_emb = QuestionBaselineEncoder(

@@ -43,11 +43,13 @@ class ImageCoAttentionEncoder(nn.Module):
     """
 
     vgg_trainable: bool = False
+    s2d_first: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_img, train: bool = False, use_running_stats: bool = True):
-        x = VGG11Encoder(include_head=False, dtype=self.dtype,
+        x = VGG11Encoder(include_head=False, s2d_first=self.s2d_first,
+                         dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
         if not self.vgg_trainable:
             # frozen backbone (model.py:238-241): skip its backward too
@@ -219,6 +221,7 @@ class HierarchicalCoAttentionNet(nn.Module):
     hidden_dim: int = 512
     mlp_dim: int = 1024
     vgg_trainable: bool = False
+    s2d_first: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
@@ -230,7 +233,8 @@ class HierarchicalCoAttentionNet(nn.Module):
             dtype=self.dtype, name="question_encoder")(x_ques, x_ques_lens)
 
         x_img_features = ImageCoAttentionEncoder(
-            vgg_trainable=self.vgg_trainable, dtype=self.dtype,
+            vgg_trainable=self.vgg_trainable, s2d_first=self.s2d_first,
+            dtype=self.dtype,
             name="image_encoder")(x_img, train, use_running_stats)
 
         x_img_attn, x_ques_attn = ParallelCoAttention(

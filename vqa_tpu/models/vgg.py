@@ -68,31 +68,115 @@ def adaptive_avg_pool(x, out_hw: tuple[int, int]):
     return jnp.stack(rows, axis=1)  # [B, oh, ow, C]
 
 
+def _space_to_depth_kernel(w):
+    """Rewrite a 3x3 stride-1 conv kernel for a 2x2 space-to-depth input.
+
+    ``w`` [3, 3, C, O] -> [3, 3, 4C, 4O]: output-channel group P = 2p+q holds
+    pool phase (p, q), i.e. the original conv evaluated at output position
+    (2i+p, 2j+q). Combined with a 2x2-phase max-reduce this is *exactly*
+    conv -> maxpool(2x2), but with a 4Cx9 contraction instead of Cx9 — the
+    fix for the first VGG conv whose C_in=3 leaves the 128-wide MXU 98% idle.
+    """
+    _, _, c, o = w.shape
+    w4 = jnp.zeros((3, 3, 4 * c, 4 * o), w.dtype)
+    for p in range(2):
+        for q in range(2):
+            for a in range(3):       # tap offsets -1..1 as 0..2
+                for b in range(3):
+                    ta, tb = p + a - 1, q + b - 1
+                    r, s_ = ta % 2, tb % 2
+                    av, bv = (ta - r) // 2 + 1, (tb - s_) // 2 + 1
+                    w4 = w4.at[av, bv, (r * 2 + s_) * c:(r * 2 + s_ + 1) * c,
+                               (p * 2 + q) * o:(p * 2 + q + 1) * o].set(w[a, b])
+    return w4
+
+
+def _space_to_depth_2x2(x):
+    """NHWC [B, H, W, C] -> [B, H/2, W/2, 4C]; channel group = (r*2+s)*C+c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)                 # [B, H/2, W/2, 2, 2, C]
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+class _ConvParams(nn.Module):
+    """Bare conv kernel+bias with the same param-tree layout as ``nn.Conv``."""
+
+    features: int
+    in_channels: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", conv_kaiming_normal_init,
+                            (3, 3, self.in_channels, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class VGGFeatures(nn.Module):
     """The conv stack (torch ``vgg11_bn().features``): 5 pool stages.
 
     224x224 -> [B, 7, 7, 512]; 448x448 -> [B, 14, 14, 512].
     Module names ``conv{i}`` / ``bn{i}`` index convs 0..7 for the converter.
+
+    ``s2d_first``: run stage 1 (conv 3->64 + BN + ReLU + maxpool2x2) as a 2x2
+    space-to-depth conv (12 -> 4x64 phase channels) followed by BN/ReLU and a
+    4-phase max-reduce — the same computation (BN/ReLU are elementwise and the
+    pool max becomes the phase max) but with an MXU-efficient contraction;
+    C_in=3 leaves the 128-deep systolic array ~98% idle (measured 36ms ->
+    see BASELINE.md). Stored params are unchanged (kernel rewritten on the
+    fly), so checkpoints/converters are layout-stable.
     """
 
     dtype: Dtype = jnp.float32
+    s2d_first: bool = False
 
     @nn.compact
     def __call__(self, x, use_running_stats: bool = True):
-        conv_idx = 0
         x = x.astype(self.dtype)
-        for v in VGG11_CFG:
+        cfg = list(VGG11_CFG)
+        conv_idx = 0
+        idx = 0
+        while idx < len(cfg):
+            v = cfg[idx]
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                idx += 1
+                continue
+            bn = nn.BatchNorm(use_running_average=use_running_stats, momentum=0.9,
+                              epsilon=1e-5, dtype=self.dtype, name=f"bn{conv_idx}")
+            if conv_idx == 0:
+                kernel, bias = _ConvParams(v, x.shape[-1], name="conv0")()
+                use_s2d = (self.s2d_first and x.shape[1] % 2 == 0
+                           and idx + 1 < len(cfg) and cfg[idx + 1] == "M")
+                if use_s2d:
+                    w4 = _space_to_depth_kernel(kernel)       # [3,3,4C,4*64]
+                    x_sd = _space_to_depth_2x2(x)             # [B,H/2,W/2,4C]
+                    y = jax.lax.conv_general_dilated(
+                        x_sd, w4.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=self.dtype)
+                    b_, h_, w_, _ = y.shape
+                    y = y.reshape(b_, h_, w_, 4, v) + bias.astype(self.dtype)
+                    y = bn(y)
+                    y = nn.relu(y)
+                    x = jnp.max(y, axis=3)                    # phase max == pool
+                    idx += 2                                  # conv + its 'M'
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        x, kernel.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=self.dtype)
+                    x = nn.relu(bn(y + bias.astype(self.dtype)))
+                    idx += 1
             else:
-                x = nn.Conv(v, (3, 3), padding=1, kernel_init=conv_kaiming_normal_init,
+                x = nn.Conv(v, (3, 3), padding=1,
+                            kernel_init=conv_kaiming_normal_init,
                             bias_init=nn.initializers.zeros, dtype=self.dtype,
                             name=f"conv{conv_idx}")(x)
-                x = nn.BatchNorm(use_running_average=use_running_stats, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.dtype,
-                                 name=f"bn{conv_idx}")(x)
-                x = nn.relu(x)
-                conv_idx += 1
+                x = nn.relu(bn(x))
+                idx += 1
+            conv_idx += 1
         return x
 
 
@@ -129,11 +213,13 @@ class VGG11Encoder(nn.Module):
     """
 
     include_head: bool = True
+    s2d_first: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, use_running_stats: bool = True):
-        x = VGGFeatures(dtype=self.dtype, name="features")(x, use_running_stats)
+        x = VGGFeatures(dtype=self.dtype, s2d_first=self.s2d_first,
+                        name="features")(x, use_running_stats)
         if self.include_head:
             x = adaptive_avg_pool(x, (7, 7))
             x = VGGClassifierHead(dtype=self.dtype, name="classifier")(x, train)
