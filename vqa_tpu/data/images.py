@@ -59,8 +59,26 @@ def decode_image(path: str, host_size: int, synthetic_fallback: bool = False) ->
 
 
 def decode_batch(paths: list[str], host_size: int, pool=None,
-                 synthetic_fallback: bool = False) -> np.ndarray:
-    """Decode a batch of images, optionally via a thread pool (libjpeg drops the GIL)."""
+                 synthetic_fallback: bool = False,
+                 backend: str = "auto", native_threads: int = 8) -> np.ndarray:
+    """Decode a batch of images to uint8 [N, S, S, 3].
+
+    ``backend``: 'native' (C++ thread-pool decoder, vqa_tpu.native), 'pil',
+    or 'auto' (native when built + all paths are .jpg, else PIL). Failed
+    native decodes fall back per-image to PIL/synthetic.
+    """
+    if backend in ("auto", "native"):
+        from ..native import decode_batch_native, native_available
+
+        use_native = native_available() and all(
+            p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+        if backend == "native" and not use_native:
+            raise RuntimeError("native decoder unavailable or non-JPEG inputs")
+        if use_native:
+            out, ok = decode_batch_native(paths, host_size, threads=native_threads)
+            for i in np.nonzero(~ok)[0]:
+                out[i] = decode_image(paths[i], host_size, synthetic_fallback)
+            return out
     if pool is None:
         imgs = [decode_image(p, host_size, synthetic_fallback) for p in paths]
     else:

@@ -69,7 +69,8 @@ class DataLoader:
     def __init__(self, samples: VQASamples, batch_size: int, *, host_size: int,
                  shuffle: bool = True, drop_last: bool = True, num_workers: int = 4,
                  seed: int = 0, synthetic_images: bool = False, prefetch: int = 2,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 decode_backend: str = "auto"):
         self.samples = samples
         self.batch_size = batch_size
         self.host_size = host_size
@@ -80,6 +81,8 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.decode_backend = decode_backend
+        self.num_workers = num_workers
         self._epoch = 0
         self._pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
 
@@ -101,7 +104,9 @@ class DataLoader:
     def _make_batch(self, idx: np.ndarray) -> dict:
         paths = [self.samples.image_path(i) for i in idx]
         images = decode_batch(paths, self.host_size, pool=self._pool,
-                              synthetic_fallback=self.synthetic_images)
+                              synthetic_fallback=self.synthetic_images,
+                              backend=self.decode_backend,
+                              native_threads=max(self.num_workers, 1))
         return {
             "image": images,
             "question": self.samples.questions[idx],
