@@ -359,3 +359,56 @@ class TestSpaceToDepthFirstStage:
         vs = m.init(jax.random.PRNGKey(1), x)
         out = m.apply(vs, x)
         assert out.shape[-1] == 512
+
+
+class TestExportRoundTrip:
+    """flax -> .pth-format state_dict -> flax must round-trip exactly, and the
+    exported dict must load into the torch oracle with identical logits."""
+
+    def test_baseline_roundtrip_and_torch_load(self):
+        from vqa_tpu.models.convert import baseline_from_torch, to_torch
+
+        torch.manual_seed(7)
+        V, K = 25, 4
+        net = VQABaselineNet(vocab_size=V, K=K)
+        img = jnp.zeros((1, 224, 224, 3))
+        ques = jnp.ones((1, 5), jnp.int32)
+        lens = jnp.array([5], jnp.int32)
+        vs = jax.jit(net.init)({"params": jax.random.PRNGKey(0)}, img, ques, lens)
+
+        sd = to_torch("baseline", vs["params"], vs["batch_stats"])
+        p2, s2 = baseline_from_torch(sd)
+        for a, b in zip(jax.tree_util.tree_leaves(vs["params"]),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # strict load into the reference-shaped torch oracle
+        model, fwd = build_torch_baseline(V, K)
+        model.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in sd.items()}, strict=True)
+        model.eval()
+        t_img = torch.randn(2, 3, 224, 224)
+        t_ques = torch.randint(1, V, (2, 6))
+        t_lens = torch.tensor([6, 4])
+        with torch.no_grad():
+            ref = to_np(fwd(t_img, t_ques, t_lens))
+        out = net.apply(vs, jnp.asarray(to_np(t_img).transpose(0, 2, 3, 1)),
+                        jnp.asarray(to_np(t_ques)), jnp.asarray(to_np(t_lens)))
+        assert_close(out, ref, atol=5e-3, rtol=1e-3, what="export round-trip logits")
+
+    def test_coattention_roundtrip(self):
+        from vqa_tpu.models.convert import coattention_from_torch, to_torch
+
+        V, K = 25, 4
+        net = HierarchicalCoAttentionNet(vocab_size=V, K=K)
+        img = jnp.zeros((1, 64, 64, 3))
+        ques = jnp.ones((1, 5), jnp.int32)
+        lens = jnp.array([5], jnp.int32)
+        vs = jax.jit(net.init)({"params": jax.random.PRNGKey(1)}, img, ques, lens)
+
+        sd = to_torch("attention", vs["params"], vs["batch_stats"])
+        assert "co_attention.W_b.weight" in sd  # re-synthesized for load compat
+        p2, _ = coattention_from_torch(sd)
+        for a, b in zip(jax.tree_util.tree_leaves(vs["params"]),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

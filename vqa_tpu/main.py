@@ -116,6 +116,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="override model input resolution (0 = per-model default)")
     parser.add_argument("--test_out", type=str,
                         help="test mode: write predictions (img, question, answer) here")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace of N train steps into the run dir")
     return parser
 
 
@@ -230,10 +232,27 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
     eta = ETAEstimator(steps_per_epoch, args.num_epochs)
     curr_step = int(state.step)
 
+    from .train.profiling import StepTimer
+    timer = StepTimer(args.batch_size)
+    profile_started = profile_done = args.profile_steps <= 0
+
     for epoch in range(args.num_epochs):
         for batch in train_loader:
+            # profile a post-warmup window of steps (compile excluded)
+            if not profile_started and curr_step >= 3:
+                import jax.profiler
+                jax.profiler.start_trace(log_dir)
+                profile_started = True
+                profile_stop_at = curr_step + args.profile_steps
+            if profile_started and not profile_done and curr_step >= profile_stop_at:
+                import jax.profiler
+                jax.profiler.stop_trace()
+                profile_done = True
+                print_and_log(f"profiler trace written to {log_dir}", log_file)
+
             device_batch = _device_batch(batch, preprocess, mesh)
             state, metrics = train_step(state, device_batch)
+            timer.tick()
 
             if (curr_step + 1) % args.log_interval == 0 or curr_step == 1:
                 if val_loader is not None:
@@ -248,12 +267,14 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
 
                 loss_val = float(metrics["loss"])
                 writer.add_scalar("Train/Loss", loss_val, curr_step)
+                writer.add_scalar("Train/QAPairsPerSec", timer.qa_pairs_per_sec,
+                                  curr_step)
                 elapsed, left = eta(curr_step)
                 print_and_log(
                     "Epoch [{}/{}], Step [{}/{}], Loss: {:.4f} | time elapsed: "
-                    "{:.2f}h | time left: {:.2f}h".format(
+                    "{:.2f}h | time left: {:.2f}h | {}".format(
                         epoch + 1, args.num_epochs, curr_step + 1, steps_per_epoch,
-                        loss_val, elapsed, left), log_file)
+                        loss_val, elapsed, left, timer.summary()), log_file)
 
             if (curr_step + 1) % args.save_interval == 0:
                 print(f"Saving the model at the {curr_step + 1} step to "

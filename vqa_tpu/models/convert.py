@@ -164,3 +164,130 @@ def from_torch(model_name: str, sd):
     if model_name == "attention":
         return coattention_from_torch(sd)
     raise ValueError(f"unknown model {model_name!r}")
+
+
+# --------------------------------------------------------------------------
+# Export: flax pytree -> reference-format torch state_dict (for parity tests
+# and for users migrating checkpoints back; SURVEY.md §5.4).
+
+def _linear_out(tree):
+    return {"weight": np.ascontiguousarray(np.asarray(tree["kernel"]).T),
+            "bias": np.asarray(tree["bias"]).copy()}
+
+
+def _conv2d_out(tree):
+    return {"weight": np.ascontiguousarray(
+                np.asarray(tree["kernel"]).transpose(3, 2, 0, 1)),
+            "bias": np.asarray(tree["bias"]).copy()}
+
+
+def _bn_out(params, stats):
+    return {"weight": np.asarray(params["scale"]).copy(),
+            "bias": np.asarray(params["bias"]).copy(),
+            "running_mean": np.asarray(stats["mean"]).copy(),
+            "running_var": np.asarray(stats["var"]).copy(),
+            "num_batches_tracked": np.asarray(0, dtype=np.int64)}
+
+
+def _rnn_out(tree):
+    return {"weight_ih_l0": np.ascontiguousarray(np.asarray(tree["w_ih"]).T),
+            "weight_hh_l0": np.ascontiguousarray(np.asarray(tree["w_hh"]).T),
+            "bias_ih_l0": np.asarray(tree["b_ih"]).copy(),
+            "bias_hh_l0": np.asarray(tree["b_hh"]).copy()}
+
+
+def _conv1d_out(kernel, bias):
+    return {"weight": np.ascontiguousarray(np.asarray(kernel).transpose(2, 1, 0)),
+            "bias": np.asarray(bias).copy()}
+
+
+def _vgg_head_fc0_out(tree):
+    w = np.asarray(tree["kernel"]).T                   # [4096, 25088] HWC order
+    w = w.reshape(w.shape[0], 7, 7, 512).transpose(0, 3, 1, 2).reshape(w.shape[0], -1)
+    return {"weight": np.ascontiguousarray(w), "bias": np.asarray(tree["bias"]).copy()}
+
+
+def _flatten_into(sd, prefix, tree):
+    for name, value in tree.items():
+        sd[f"{prefix}.{name}"] = value
+
+
+def vgg_features_to_torch(params, stats, prefix: str) -> dict:
+    sd: dict = {}
+    for n, i in enumerate(VGG11_TORCH_CONV_IDX):
+        _flatten_into(sd, f"{prefix}.{i}", _conv2d_out(params[f"conv{n}"]))
+        _flatten_into(sd, f"{prefix}.{i + 1}", _bn_out(params[f"bn{n}"], stats[f"bn{n}"]))
+    return sd
+
+
+def baseline_to_torch(params, batch_stats) -> dict:
+    """VQABaselineNet pytree -> reference-naming state_dict (numpy values)."""
+    img = params["image_encoder"]
+    q = params["question_encoder"]
+    vgg_stats = batch_stats["image_encoder"]["vgg11_encoder"]["features"]
+    sd = vgg_features_to_torch(img["vgg11_encoder"]["features"], vgg_stats,
+                               "image_encoder.vgg11_encoder.conv_layers")
+    _flatten_into(sd, "image_encoder.vgg11_encoder.fc_layers.1",
+                  _vgg_head_fc0_out(img["vgg11_encoder"]["classifier"]["fc0"]))
+    _flatten_into(sd, "image_encoder.vgg11_encoder.fc_layers.4",
+                  _linear_out(img["vgg11_encoder"]["classifier"]["fc1"]))
+    _flatten_into(sd, "image_encoder.embedding_layer.0", _linear_out(img["embedding_fc"]))
+    sd["question_encoder.word_embedding.0.weight"] = \
+        np.asarray(q["word_embedding"]["embedding"]).copy()
+    _flatten_into(sd, "question_encoder.gru", _rnn_out(q["gru"]))
+    _flatten_into(sd, "question_encoder.embedding_layer.0", _linear_out(q["embedding_fc"]))
+    _flatten_into(sd, "mlp.0", _linear_out(params["mlp_fc"]))
+    _flatten_into(sd, "fc_final", _linear_out(params["fc_final"]))
+    return sd
+
+
+def coattention_to_torch(params, batch_stats) -> dict:
+    """HierarchicalCoAttentionNet pytree -> reference-naming state_dict.
+
+    ``co_attention.W_b`` (which the reference creates but never uses in
+    forward, model.py:347,377) is re-synthesized as zeros so the exported
+    dict is load_state_dict-complete against the reference module.
+    """
+    q = params["question_encoder"]
+    vgg_stats = batch_stats["image_encoder"]["vgg11_encoder"]["features"]
+    sd = vgg_features_to_torch(params["image_encoder"]["vgg11_encoder"]["features"],
+                               vgg_stats, "image_encoder.vgg11_encoder")
+    sd["question_encoder.word_embedding.weight"] = \
+        np.asarray(q["word_embedding"]["embedding"]).copy()
+    pcp = q["phrase_conv_pool"]
+    for gram in ("unigram", "bigram", "trigram"):
+        _flatten_into(sd, f"question_encoder.phrase_conv_pool.conv_{gram}.1",
+                      _conv1d_out(pcp[f"conv_{gram}_kernel"], pcp[f"conv_{gram}_bias"]))
+    _flatten_into(sd, "question_encoder.sentence_lstm", _rnn_out(q["sentence_lstm"]))
+    co = params["co_attention"]
+    d = np.asarray(co["W_v_kernel"]).shape[0]
+    sd["co_attention.W_b.weight"] = np.zeros((d, d), np.float32)
+    sd["co_attention.W_b.bias"] = np.zeros((d,), np.float32)
+    for name in ("W_v", "W_q", "w_v", "w_q"):
+        _flatten_into(sd, f"co_attention.{name}",
+                      _linear_out({"kernel": co[f"{name}_kernel"],
+                                   "bias": co[f"{name}_bias"]}))
+    for w in ("W_w", "W_p", "W_s", "W_h"):
+        _flatten_into(sd, f"mlp_classify.{w}", _linear_out(params["mlp_classify"][w]))
+    return sd
+
+
+def to_torch(model_name: str, params, batch_stats) -> dict:
+    """Dispatch by model name; values are numpy (wrap with torch.from_numpy
+    + torch.save for a .pth file)."""
+    params = {k: v for k, v in params.items()}
+    if model_name == "baseline":
+        return baseline_to_torch(params, batch_stats)
+    if model_name == "attention":
+        return coattention_to_torch(params, batch_stats)
+    raise ValueError(f"unknown model {model_name!r}")
+
+
+def save_pth(path: str, model_name: str, params, batch_stats) -> None:
+    """Write a reference-format .pth checkpoint (requires torch)."""
+    import torch
+
+    sd = to_torch(model_name, params, batch_stats)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(
+        np.asarray(v, dtype=np.float32) if np.asarray(v).dtype != np.int64
+        else np.asarray(v))) for k, v in sd.items()}, path)
