@@ -139,3 +139,81 @@ class TestTrainDriver:
                 "--expt_dir", toy_data["root"], "--expt_name", "x", "--run_name", "y",
                 "--train_img", toy_data["root"], "--train_file", toy_data["data"],
                 "--vocab_file", vocab_path, "--num_epochs", "1"])
+
+
+class TestTrainableVGG:
+    def test_vgg_train_true_updates_backbone(self, toy_data):
+        """--vgg_train true: backbone params receive updates, batch_stats move,
+        remat path is active, loss stays finite."""
+        import flax.traverse_util as tu
+        from vqa_tpu.config import build_model
+        from vqa_tpu.data import DataLoader, VQASamples, make_image_preprocessor
+        from vqa_tpu.train.state import create_train_state, make_optimizer
+        from vqa_tpu.train.steps import make_train_step
+        from vqa_tpu.vocab import Vocab
+
+        v = Vocab.load(toy_data["vocab"])
+        model, _ = build_model("baseline", v.size, v.num_labels,
+                               vgg_trainable=True, opt_lvl=0)
+        assert model.remat  # trainable VGG engages rematerialization
+        s = VQASamples(toy_data["data"], toy_data["root"], v.word2idx,
+                       v.label2idx, v.max_seq_length)
+        dl = DataLoader(s, 8, host_size=32, synthetic_images=True,
+                        num_workers=1, seed=0)
+        pre = make_image_preprocessor(32)
+        b = next(iter(dl))
+        init_batch = {"image": pre(b["image"][:1]),
+                      "question": jnp.asarray(b["question"][:1]),
+                      "ques_len": jnp.asarray(b["ques_len"][:1])}
+        state = create_train_state(model, jax.random.PRNGKey(0), init_batch,
+                                   1e-3, vgg_trainable=True)
+        tx = make_optimizer(1e-3, state.params, vgg_trainable=True)
+        step = make_train_step(model, tx, vgg_trainable=True)
+
+        conv0_before = np.asarray(tu.flatten_dict(state.params)[
+            ("image_encoder", "vgg11_encoder", "features", "conv0", "kernel")])
+        stats_before = np.asarray(tu.flatten_dict(state.batch_stats)[
+            ("image_encoder", "vgg11_encoder", "features", "bn0", "mean")])
+
+        db = {"image": pre(b["image"]), "question": jnp.asarray(b["question"]),
+              "ques_len": jnp.asarray(b["ques_len"]),
+              "label": jnp.asarray(b["label"])}
+        state, m = step(state, db)
+        assert np.isfinite(float(m["loss"]))
+
+        conv0_after = np.asarray(tu.flatten_dict(state.params)[
+            ("image_encoder", "vgg11_encoder", "features", "conv0", "kernel")])
+        stats_after = np.asarray(tu.flatten_dict(state.batch_stats)[
+            ("image_encoder", "vgg11_encoder", "features", "bn0", "mean")])
+        assert np.abs(conv0_after - conv0_before).max() > 0, "VGG not updated"
+        assert np.abs(stats_after - stats_before).max() > 0, "BN stats frozen"
+
+    def test_vgg_frozen_keeps_backbone_fixed(self, toy_data):
+        import flax.traverse_util as tu
+        from vqa_tpu.config import build_model
+        from vqa_tpu.data import make_image_preprocessor
+        from vqa_tpu.train.state import create_train_state, make_optimizer
+        from vqa_tpu.train.steps import make_train_step
+        from vqa_tpu.vocab import Vocab
+
+        v = Vocab.load(toy_data["vocab"])
+        model, _ = build_model("baseline", v.size, v.num_labels,
+                               vgg_trainable=False, opt_lvl=0)
+        pre = make_image_preprocessor(32)
+        img = np.zeros((4, 32, 32, 3), np.uint8)
+        ques = np.tile(np.array([[2, 3, 0]], np.int32), (4, 1))
+        init_batch = {"image": pre(img[:1]), "question": jnp.asarray(ques[:1]),
+                      "ques_len": jnp.array([2], jnp.int32)}
+        state = create_train_state(model, jax.random.PRNGKey(0), init_batch, 1e-2)
+        tx = make_optimizer(1e-2, state.params, vgg_trainable=False)
+        step = make_train_step(model, tx, vgg_trainable=False)
+        before = np.asarray(tu.flatten_dict(state.params)[
+            ("image_encoder", "vgg11_encoder", "features", "conv0", "kernel")])
+        db = {"image": pre(img), "question": jnp.asarray(ques),
+              "ques_len": jnp.full((4,), 2, jnp.int32),
+              "label": jnp.zeros((4,), jnp.int32)}
+        for _ in range(2):
+            state, _ = step(state, db)
+        after = np.asarray(tu.flatten_dict(state.params)[
+            ("image_encoder", "vgg11_encoder", "features", "conv0", "kernel")])
+        np.testing.assert_array_equal(before, after)

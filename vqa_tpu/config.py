@@ -62,25 +62,30 @@ def compute_dtype_for_opt_lvl(opt_lvl: int):
 
 def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                 vgg_trainable: bool = False, opt_lvl: int = 1,
-                use_pallas: bool = False, s2d_first: bool = True):
+                use_pallas: bool = False, s2d_first: bool = False):
     """Instantiate a model by registry name (reference main.py:162-165).
 
-    ``s2d_first`` defaults on: the space-to-depth first VGG stage is the
-    production configuration (same math, ~20x better MXU utilization on the
-    C_in=3 conv; see models/vgg.py).
+    ``s2d_first`` keeps the space-to-depth first VGG stage available (same
+    math, MXU-denser contraction) but defaults off: measured end-to-end on
+    v5e the XLA-fused standard path is currently faster (83.5ms vs 100ms for
+    the b160@448 feature stack) because the s2d layout shuffle outweighs the
+    conv win. Revisit with a fused Pallas stage-1 kernel.
     """
     cfg = MODEL_CONFIGS[model_name]
     dtype = compute_dtype_for_opt_lvl(opt_lvl)
+    # trainable VGG rematerializes the conv stack in backward (HBM headroom)
+    remat = vgg_trainable
     if model_name == "baseline":
         from .models import VQABaselineNet
         return VQABaselineNet(vocab_size=vocab_size, K=num_classes,
                               vgg_trainable=vgg_trainable, s2d_first=s2d_first,
-                              dtype=dtype, **cfg.question_params), cfg
+                              remat=remat, dtype=dtype,
+                              **cfg.question_params), cfg
     if model_name == "attention":
         from .models import HierarchicalCoAttentionNet
         return HierarchicalCoAttentionNet(
             vocab_size=vocab_size, K=num_classes, mlp_dim=cfg.mlp_dim,
-            vgg_trainable=vgg_trainable, s2d_first=s2d_first,
+            vgg_trainable=vgg_trainable, s2d_first=s2d_first, remat=remat,
             use_pallas=use_pallas, dtype=dtype,
             **cfg.question_params), cfg
     if model_name == "bert":

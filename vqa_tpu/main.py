@@ -33,7 +33,7 @@ import numpy as np
 from .config import build_model, compute_dtype_for_opt_lvl, int_min_two, str2bool
 from .data import DataLoader, VQASamples, make_image_preprocessor
 from .parallel.mesh import get_mesh, replicate_to_mesh, shard_batch
-from .train.checkpoint import load_any, save_checkpoint
+from .train.checkpoint import load_any
 from .train.logging import (ETAEstimator, make_summary_writer, print_and_log,
                             setup_logs_file)
 from .train.state import create_train_state, make_optimizer
@@ -160,13 +160,17 @@ def main(argv=None):
 
     mesh = get_mesh(args.num_devices) if args.num_devices > 1 else None
 
+    from .parallel.distributed import host_shard
+    shard_index, num_shards = host_shard()
+
     def make_loader(data_file, img_dir, shuffle=True):
         samples = VQASamples(data_file, img_dir, vocab.word2idx, vocab.label2idx,
                              vocab.max_seq_length)
         loader = DataLoader(samples, args.batch_size, host_size=host_size,
                             shuffle=shuffle, drop_last=True,
                             num_workers=args.num_workers, seed=args.seed,
-                            synthetic_images=args.synthetic_images)
+                            synthetic_images=args.synthetic_images,
+                            shard_index=shard_index, num_shards=num_shards)
         return samples, loader
 
     if args.mode == "train":
@@ -232,7 +236,9 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
     eta = ETAEstimator(steps_per_epoch, args.num_epochs)
     curr_step = int(state.step)
 
+    from .train.checkpoint import AsyncCheckpointer
     from .train.profiling import StepTimer
+    checkpointer = AsyncCheckpointer()
     timer = StepTimer(args.batch_size)
     profile_started = profile_done = args.profile_steps <= 0
 
@@ -240,13 +246,13 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
         for batch in train_loader:
             # profile a post-warmup window of steps (compile excluded)
             if not profile_started and curr_step >= 3:
-                import jax.profiler
-                jax.profiler.start_trace(log_dir)
+                from jax import profiler as _profiler
+                _profiler.start_trace(log_dir)
                 profile_started = True
                 profile_stop_at = curr_step + args.profile_steps
             if profile_started and not profile_done and curr_step >= profile_stop_at:
-                import jax.profiler
-                jax.profiler.stop_trace()
+                from jax import profiler as _profiler
+                _profiler.stop_trace()
                 profile_done = True
                 print_and_log(f"profiler trace written to {log_dir}", log_file)
 
@@ -279,7 +285,7 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
             if (curr_step + 1) % args.save_interval == 0:
                 print(f"Saving the model at the {curr_step + 1} step to "
                       f"directory:{log_dir}")
-                save_checkpoint(state, log_dir, curr_step + 1)
+                checkpointer.save(state, log_dir, curr_step + 1)
 
             curr_step += 1
 
@@ -292,6 +298,7 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                 "Validation Loss: {:.4f}\n".format(epoch + 1, vm["accuracy"],
                                                    vm["loss"]), log_file)
 
+    checkpointer.wait()
     writer.close()
     log_file.close()
 

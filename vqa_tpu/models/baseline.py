@@ -36,12 +36,13 @@ class ImageBaselineEncoder(nn.Module):
 
     vgg_trainable: bool = False
     s2d_first: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_img, train: bool = False, use_running_stats: bool = True):
         x = VGG11Encoder(include_head=True, s2d_first=self.s2d_first,
-                         dtype=self.dtype,
+                         remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
         if not self.vgg_trainable:
             # frozen backbone (reference model.py:57-59): also skip its
@@ -82,6 +83,7 @@ class VQABaselineNet(nn.Module):
     hidden_dim: int = 1024
     vgg_trainable: bool = False
     s2d_first: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -89,6 +91,7 @@ class VQABaselineNet(nn.Module):
                  use_running_stats: bool = True):
         img_emb = ImageBaselineEncoder(vgg_trainable=self.vgg_trainable,
                                        s2d_first=self.s2d_first,
+                                       remat=self.remat,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats)
         ques_emb = QuestionBaselineEncoder(

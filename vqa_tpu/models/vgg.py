@@ -214,12 +214,19 @@ class VGG11Encoder(nn.Module):
 
     include_head: bool = True
     s2d_first: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, use_running_stats: bool = True):
-        x = VGGFeatures(dtype=self.dtype, s2d_first=self.s2d_first,
-                        name="features")(x, use_running_stats)
+        features_cls = VGGFeatures
+        if self.remat:
+            # trainable-VGG configs: rematerialize the conv stack in backward
+            # instead of keeping every 448^2 activation live (HBM headroom
+            # for the reference's batch-160 config when --vgg_train true)
+            features_cls = nn.remat(VGGFeatures, static_argnums=(2,))
+        x = features_cls(dtype=self.dtype, s2d_first=self.s2d_first,
+                         name="features")(x, use_running_stats)
         if self.include_head:
             x = adaptive_avg_pool(x, (7, 7))
             x = VGGClassifierHead(dtype=self.dtype, name="classifier")(x, train)

@@ -76,3 +76,41 @@ def latest_checkpoint(log_dir: str) -> str | None:
             if step > best_step:
                 best, best_step = os.path.join(log_dir, name), step
     return best
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer.
+
+    ``save`` snapshots the state to host memory synchronously (the device
+    transfer must be ordered with the training step) and hands serialization
+    + disk IO to a worker thread, so the train loop only pays the D2H copy.
+    One in-flight write at a time; ``wait`` joins the last write (call before
+    process exit).
+    """
+
+    def __init__(self):
+        import threading
+        self._thread = None
+        self._lock = threading.Lock()
+
+    def save(self, state: TrainState, log_dir: str, step: int | None = None) -> None:
+        import threading
+
+        import jax
+
+        host_state = jax.device_get(state)
+        step = int(host_state.step) if step is None else step
+        self.wait()
+
+        def write():
+            save_checkpoint(host_state, log_dir, step)
+
+        with self._lock:
+            self._thread = threading.Thread(target=write, daemon=True)
+            self._thread.start()
+
+    def wait(self) -> None:
+        with self._lock:
+            t = self._thread
+        if t is not None:
+            t.join()
