@@ -1,0 +1,67 @@
+"""Inference/serving engine tests (CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vqa_tpu.serve import VQAPredictor, main as serve_main
+from vqa_tpu.vocab import Vocab, save_vocab
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    lines = ["a.jpg\tis,the,cat,black\tyes",
+             "b.jpg\twhat,color,is,the,dog\tbrown",
+             "c.jpg\tis,this,a,cat\tno"]
+    data = root / "data.txt"
+    data.write_text("\n".join(lines) + "\n")
+    vocab_file = root / "vocab.pkl"
+    save_vocab(str(data), str(vocab_file), 1, 3)
+    return {"root": str(root), "data": str(data), "vocab": str(vocab_file)}
+
+
+class TestPredictor:
+    @pytest.fixture(scope="class")
+    def predictor(self, setup):
+        vocab = Vocab.load(setup["vocab"])
+        return VQAPredictor("baseline", vocab, batch_size=2,
+                            synthetic_images=True, image_size=32, opt_lvl=0)
+
+    def test_predict_shapes_and_labels(self, predictor, setup):
+        paths = [os.path.join(setup["root"], n) for n in ("a.jpg", "b.jpg", "c.jpg")]
+        qs = ["is,the,cat,black", "what,color,is,the,dog", "is,this,a,cat"]
+        results = predictor.predict(paths, qs, top_k=2)
+        assert len(results) == 3  # 2 full + 1 padded partial batch, same program
+        for r in results:
+            assert r["answer"] in predictor.vocab.label2idx
+            assert 0.0 <= r["prob"] <= 1.0
+            assert len(r["topk"]) == 2
+
+    def test_padding_does_not_change_results(self, predictor, setup):
+        paths = [os.path.join(setup["root"], "a.jpg")]
+        qs = ["is,the,cat,black"]
+        single = predictor.predict(paths, qs)[0]
+        batch = predictor.predict(paths * 2, qs * 2)[0]
+        assert single["answer"] == batch["answer"]
+        np.testing.assert_allclose(single["prob"], batch["prob"], atol=1e-5)
+
+    def test_unknown_words_handled(self, predictor, setup):
+        r = predictor.predict([os.path.join(setup["root"], "a.jpg")],
+                              ["completely,unseen,words,here"])[0]
+        assert r["answer"] in predictor.vocab.label2idx
+
+
+class TestServeCLI:
+    def test_end_to_end_jsonl(self, setup, tmp_path):
+        out = tmp_path / "preds.jsonl"
+        serve_main(["--model", "baseline", "--vocab_file", setup["vocab"],
+                    "--img_dir", setup["root"], "--input", setup["data"],
+                    "--output", str(out), "--batch_size", "2", "--image_size", "32",
+                    "--synthetic_images", "--opt_lvl", "0", "--top_k", "2"])
+        lines = out.read_text().strip().split("\n")
+        assert len(lines) == 3
+        rec = json.loads(lines[0])
+        assert set(rec) >= {"image", "question", "answer", "prob", "topk"}

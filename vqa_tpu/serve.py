@@ -1,0 +1,176 @@
+"""Batched inference engine + serving CLI.
+
+The reference has no inference story at all (``--mode test`` raises
+NotImplementedError, main.py:286-287; README "Inference ..TO-DO..").
+This module provides the production path:
+
+- :class:`VQAPredictor`: checkpoint -> compiled fixed-shape predict function
+  (partial batches are padded, so one XLA program serves every request size
+  up to ``batch_size``), host image decode -> device preprocess -> logits ->
+  top-k answer strings with probabilities;
+- a CLI over dataset ``.txt`` files or explicit (image, question) pairs
+  emitting JSON lines.
+
+Static shapes are the serving contract: question ids pad to the vocab's
+``max_seq_length`` and batches pad to ``batch_size``; ragged inputs never
+trigger a recompile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import build_model
+from .data.images import decode_batch
+from .data.pipeline import make_image_preprocessor
+from .text import pad_sequences, preprocess_text
+from .vocab import UNK_TOKEN, Vocab
+
+
+class VQAPredictor:
+    """Compiled batch predictor over a trained checkpoint."""
+
+    def __init__(self, model_name: str, vocab: Vocab, checkpoint: str | None = None,
+                 *, num_cls: int | None = None, batch_size: int = 32,
+                 opt_lvl: int = 1, use_pallas: bool = False,
+                 synthetic_images: bool = False, image_size: int | None = None):
+        self.vocab = vocab
+        self.batch_size = batch_size
+        self.synthetic_images = synthetic_images
+        num_classes = (num_cls + 1) if num_cls is not None else vocab.num_labels
+        self.model, cfg = build_model(model_name, vocab.size, num_classes,
+                                      opt_lvl=opt_lvl, use_pallas=use_pallas)
+        self.image_size = image_size or cfg.image_size
+        self.preprocess = make_image_preprocessor(self.image_size)
+
+        sample = {
+            "image": self.preprocess(np.zeros((1, self.image_size, self.image_size, 3),
+                                              np.uint8)),
+            "question": jnp.zeros((1, vocab.max_seq_length), jnp.int32),
+            "ques_len": jnp.ones((1,), jnp.int32),
+        }
+        variables = jax.jit(self.model.init)(
+            {"params": jax.random.PRNGKey(0)}, sample["image"],
+            sample["question"], sample["ques_len"])
+        if checkpoint:
+            from .train.checkpoint import load_any
+            from .train.state import TrainState, make_optimizer
+
+            template = TrainState(step=jnp.zeros((), jnp.int32),
+                                  params=variables["params"],
+                                  batch_stats=variables.get("batch_stats", {}),
+                                  opt_state=make_optimizer(
+                                      1e-4, variables["params"], False).init(
+                                          variables["params"]),
+                                  rng=jax.random.PRNGKey(0))
+            state = load_any(checkpoint, template, model_name)
+            self.variables = state.variables()
+        else:
+            self.variables = variables
+
+        def fwd(variables, image, question, ques_len):
+            logits = self.model.apply(variables, image, question, ques_len,
+                                      train=False, use_running_stats=True)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return probs
+
+        self._fwd = jax.jit(fwd)
+
+    def encode_questions(self, questions: list[str]):
+        """Raw question strings -> (ids [N, L], lengths [N])."""
+        unk = self.vocab.word2idx[UNK_TOKEN]
+        ids = np.zeros((len(questions), self.vocab.max_seq_length), np.int32)
+        lens = np.zeros((len(questions),), np.int32)
+        for i, q in enumerate(questions):
+            toks = [self.vocab.word2idx.get(w, unk) for w in preprocess_text(q)]
+            ids[i] = pad_sequences(toks, self.vocab.max_seq_length)
+            lens[i] = int(np.count_nonzero(ids[i]))
+        return ids, lens
+
+    def predict(self, image_paths: list[str], questions: list[str],
+                top_k: int = 1) -> list[dict]:
+        """Answer (image, question) pairs; any count up to padding, no recompile.
+
+        Returns per-sample dicts: {answer, prob, topk: [(answer, prob), ...]}.
+        """
+        assert len(image_paths) == len(questions)
+        results: list[dict] = []
+        bs = self.batch_size
+        for start in range(0, len(questions), bs):
+            chunk_paths = image_paths[start:start + bs]
+            chunk_qs = questions[start:start + bs]
+            n = len(chunk_qs)
+            images = decode_batch(chunk_paths, self.image_size,
+                                  synthetic_fallback=self.synthetic_images)
+            ids, lens = self.encode_questions(chunk_qs)
+            # pad the batch to the compiled shape
+            if n < bs:
+                images = np.concatenate(
+                    [images, np.zeros((bs - n,) + images.shape[1:], images.dtype)])
+                ids = np.concatenate([ids, np.zeros((bs - n, ids.shape[1]), ids.dtype)])
+                lens = np.concatenate([lens, np.ones((bs - n,), lens.dtype)])
+            probs = np.asarray(self._fwd(self.variables, self.preprocess(images),
+                                         jnp.asarray(ids), jnp.asarray(lens)))[:n]
+            order = np.argsort(-probs, axis=-1)[:, :top_k]
+            for row, top in zip(probs, order):
+                topk = [(self.vocab.idx2label[int(i)], float(row[i])) for i in top]
+                results.append({"answer": topk[0][0], "prob": topk[0][1],
+                                "topk": topk})
+        return results
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(description="VQA batched inference")
+    ap.add_argument("--model", required=True, choices=["baseline", "attention", "bert"])
+    ap.add_argument("--vocab_file", required=True)
+    ap.add_argument("--model_ckpt", help=".ckpt or reference .pth")
+    ap.add_argument("--img_dir", default=".", help="image directory")
+    ap.add_argument("--input", required=True,
+                    help="dataset .txt (img\\tq\\t[ans]) or '-' for stdin pairs 'img\\tq'")
+    ap.add_argument("--output", help="output JSONL (default stdout)")
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--top_k", type=int, default=1)
+    ap.add_argument("--num_cls", type=int)
+    ap.add_argument("--opt_lvl", type=int, default=1, choices=[0, 1, 2, 3])
+    ap.add_argument("--use_pallas", action="store_true")
+    ap.add_argument("--synthetic_images", action="store_true")
+    ap.add_argument("--image_size", type=int,
+                    help="override input resolution (default: per-model)")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    vocab = Vocab.load(args.vocab_file)
+    predictor = VQAPredictor(args.model, vocab, args.model_ckpt,
+                             num_cls=args.num_cls, batch_size=args.batch_size,
+                             opt_lvl=args.opt_lvl, use_pallas=args.use_pallas,
+                             synthetic_images=args.synthetic_images,
+                             image_size=args.image_size)
+
+    import sys
+    lines = (sys.stdin if args.input == "-" else open(args.input)).read().strip().split("\n")
+    img_paths, questions = [], []
+    for line in lines:
+        parts = line.strip().split("\t")
+        img_paths.append(os.path.join(args.img_dir, parts[0]))
+        questions.append(parts[1])
+
+    results = predictor.predict(img_paths, questions, top_k=args.top_k)
+    out = open(args.output, "w") if args.output else sys.stdout
+    for path, q, r in zip(img_paths, questions, results):
+        out.write(json.dumps({"image": os.path.basename(path),
+                              "question": q.replace(",", " "), **r}) + "\n")
+    if args.output:
+        out.close()
+        print(f"wrote {len(results)} predictions to {args.output}")
+
+
+if __name__ == "__main__":
+    main()
