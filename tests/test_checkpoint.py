@@ -1,0 +1,97 @@
+"""Checkpoint-layer unit tests: atomicity, latest-lookup, async writer,
+.pth interop through load_any."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.train.checkpoint import (AsyncCheckpointer, checkpoint_path,
+                                      latest_checkpoint, load_any,
+                                      restore_checkpoint, save_checkpoint)
+from vqa_tpu.train.state import TrainState, create_train_state, make_optimizer
+
+
+@pytest.fixture(scope="module")
+def small_state():
+    from vqa_tpu.models.bert import VQABertNet
+
+    model = VQABertNet(vocab_size=20, K=3, hidden_dim=16, num_layers=1, num_heads=2)
+    batch = {"image": jnp.zeros((1, 32, 32, 3)),
+             "question": jnp.ones((1, 4), jnp.int32),
+             "ques_len": jnp.array([3], jnp.int32)}
+    return create_train_state(model, jax.random.PRNGKey(0), batch, 1e-3)
+
+
+class TestSaveRestore:
+    def test_roundtrip_full_state(self, small_state, tmp_path):
+        state = small_state.replace(step=jnp.asarray(7, jnp.int32))
+        path = save_checkpoint(state, str(tmp_path))
+        assert path.endswith("model_7.ckpt")
+        restored = restore_checkpoint(path, small_state)
+        assert int(restored.step) == 7
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # optimizer state restored too (the reference loses it)
+        for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                        jax.tree_util.tree_leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_no_tmp_leftover(self, small_state, tmp_path):
+        save_checkpoint(small_state, str(tmp_path), step=1)
+        assert not any(f.endswith(".tmp") for f in os.listdir(tmp_path))
+
+    def test_latest_checkpoint(self, small_state, tmp_path):
+        assert latest_checkpoint(str(tmp_path)) is None
+        for s in (3, 10, 5):
+            save_checkpoint(small_state, str(tmp_path), step=s)
+        assert latest_checkpoint(str(tmp_path)) == checkpoint_path(str(tmp_path), 10)
+
+
+class TestAsyncCheckpointer:
+    def test_async_write_completes(self, small_state, tmp_path):
+        ck = AsyncCheckpointer()
+        ck.save(small_state, str(tmp_path), step=42)
+        ck.wait()
+        restored = restore_checkpoint(checkpoint_path(str(tmp_path), 42), small_state)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(small_state.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(restored.params)[0]))
+
+    def test_serialized_writes(self, small_state, tmp_path):
+        ck = AsyncCheckpointer()
+        for s in range(3):
+            ck.save(small_state, str(tmp_path), step=s)
+        ck.wait()
+        names = sorted(os.listdir(tmp_path))
+        assert {"model_0.ckpt", "model_1.ckpt", "model_2.ckpt"} <= set(names)
+
+
+class TestPthInterop:
+    def test_load_any_pth(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from vqa_tpu.models import VQABaselineNet
+        from vqa_tpu.models.convert import save_pth
+
+        model = VQABaselineNet(vocab_size=15, K=3)
+        batch = {"image": jnp.zeros((1, 32, 32, 3)),
+                 "question": jnp.ones((1, 4), jnp.int32),
+                 "ques_len": jnp.array([3], jnp.int32)}
+        state = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-3)
+
+        pth = str(tmp_path / "model_5.pth")
+        save_pth(pth, "baseline", state.params, state.batch_stats)
+
+        fresh = create_train_state(model, jax.random.PRNGKey(9), batch, 1e-3)
+        loaded = load_any(pth, fresh, "baseline")
+        # params replaced by the .pth weights...
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(loaded.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]), atol=1e-6)
+        # ...but step stays fresh (weights-only semantics, like the reference)
+        assert int(loaded.step) == 0
