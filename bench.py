@@ -12,6 +12,7 @@ methodology). Override via env:
 
 - ``BENCH_BATCH`` (default 160), ``BENCH_STEPS`` (default 20)
 - ``BENCH_MODEL`` ('attention' | 'baseline' | 'bert')
+- ``BENCH_MODE`` ('train' | 'eval' — eval measures inference throughput)
 - ``BENCH_PALLAS`` ('1' routes co-attention through the fused Pallas kernel)
 - ``BENCH_BASELINE_QPS`` (default 400.0)
 """
@@ -32,6 +33,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 160))
     steps = int(os.environ.get("BENCH_STEPS", 20))
     model_name = os.environ.get("BENCH_MODEL", "attention")
+    mode = os.environ.get("BENCH_MODE", "train")
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     image_size = 448 if model_name == "attention" else 224
     vocab_size, num_classes, seq_len = 10000, 1001, 23
@@ -51,28 +53,41 @@ def main():
 
     init_batch = {"image": img[:1], "question": ques[:1], "ques_len": lens[:1]}
     state = create_train_state(model, rng, init_batch, learning_rate=1e-4)
-    tx = make_optimizer(1e-4, state.params, vgg_trainable=False)
-    train_step = make_train_step(model, tx, donate=True)
-
     device_batch = {"image": img, "question": ques, "ques_len": lens, "label": labels}
     device_batch = jax.device_put(device_batch)
 
-    # warmup: compile + 2 steps; sync via host fetch (the axon PJRT tunnel's
-    # block_until_ready returns before remote execution completes, so a value
-    # read is the only reliable barrier)
-    for _ in range(3):
-        state, metrics = train_step(state, device_batch)
-    float(metrics["loss"])
+    # sync via host fetch: the axon PJRT tunnel's block_until_ready returns
+    # before remote execution completes; a value read is the only barrier
+    if mode == "eval":
+        from vqa_tpu.train.steps import make_eval_step
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = train_step(state, device_batch)
-    float(metrics["loss"])  # chain: final loss depends on every prior step
-    dt = time.perf_counter() - t0
+        eval_step = make_eval_step(model)
+        variables = state.variables()
+        for _ in range(3):
+            m = eval_step(variables, device_batch)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            m = eval_step(variables, device_batch)
+        # device execution is in-order: the last step's loss completes after
+        # every queued step, so one fetch is the barrier for all of them
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+    else:
+        tx = make_optimizer(1e-4, state.params, vgg_trainable=False)
+        train_step = make_train_step(model, tx, donate=True)
+        for _ in range(3):
+            state, metrics = train_step(state, device_batch)
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = train_step(state, device_batch)
+        float(metrics["loss"])  # chain: final loss depends on every prior step
+        dt = time.perf_counter() - t0
 
     qps = batch * steps / dt
     print(json.dumps({
-        "metric": f"train_qa_pairs_per_sec_{model_name}_b{batch}"
+        "metric": f"{mode}_qa_pairs_per_sec_{model_name}_b{batch}"
                   f"{'_pallas' if use_pallas else ''}",
         "value": round(qps, 2),
         "unit": "qa_pairs_per_sec",
