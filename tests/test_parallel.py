@@ -110,3 +110,30 @@ class TestDryrunEntry:
         fn, args = entry()
         out = jax.jit(fn)(*args)
         assert out.shape[0] == args[1].shape[0]
+
+
+class TestDataParallelCLI:
+    def test_train_cli_with_num_devices(self, eight_devices, tmp_path):
+        """Full CLI run sharded over 2 devices, incl. sharded validation."""
+        from vqa_tpu.vocab import save_vocab
+
+        lines = [f"img{i}.jpg\tis,the,cat,black\tyes" if i % 2 == 0
+                 else f"img{i}.jpg\twhat,color,is,it\tred" for i in range(32)]
+        data = tmp_path / "d.txt"
+        data.write_text("\n".join(lines) + "\n")
+        vocab = tmp_path / "v.pkl"
+        save_vocab(str(data), str(vocab), 1, 3)
+
+        from vqa_tpu.main import main
+        main(["--mode", "train", "--model", "baseline",
+              "--expt_dir", str(tmp_path / "e"), "--expt_name", "x",
+              "--run_name", "y", "--train_img", str(tmp_path),
+              "--train_file", str(data), "--val_img", str(tmp_path),
+              "--val_file", str(data), "--vocab_file", str(vocab),
+              "--batch_size", "8", "--num_epochs", "1", "--num_cls", "2",
+              "--log_interval", "2", "--save_interval", "100",
+              "--val_size", "8", "--num_workers", "1",
+              "--synthetic_images", "true", "--image_size", "32",
+              "--opt_lvl", "0", "--num_devices", "2"])
+        log = (tmp_path / "e" / "x" / "y" / "train_log.txt").read_text()
+        assert "Validation Accuracy" in log

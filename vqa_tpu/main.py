@@ -263,7 +263,8 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
             if (curr_step + 1) % args.log_interval == 0 or curr_step == 1:
                 if val_loader is not None:
                     vm = compute_validation_metrics(
-                        eval_step, state.variables(), iter(val_loader), preprocess,
+                        eval_step, state.variables(), iter(val_loader),
+                        lambda b: _device_batch(b, preprocess, mesh),
                         args.batch_size, args.val_size)
                     print_and_log(
                         "Validation Accuracy: {:.2f} %  || Validation Loss: {:.4f}"
@@ -291,7 +292,8 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
 
         if val_loader is not None:
             vm = compute_validation_metrics(
-                eval_step, state.variables(), iter(val_loader), preprocess,
+                eval_step, state.variables(), iter(val_loader),
+                lambda b: _device_batch(b, preprocess, mesh),
                 args.batch_size, len(val_dataset))
             print_and_log(
                 "\nAfter {} epoch:\nValidation Accuracy: {:.2f} %  || "

@@ -87,9 +87,12 @@ def make_eval_step(model):
     return jax.jit(eval_step)
 
 
-def compute_validation_metrics(eval_step, variables, val_iter, preprocess,
+def compute_validation_metrics(eval_step, variables, val_iter, prepare_batch,
                                batch_size: int, size: int) -> dict:
     """Accuracy + loss over ``size`` validation samples.
+
+    ``prepare_batch``: host batch -> device batch (preprocess + optional mesh
+    sharding), so DP evaluation shards exactly like training.
 
     Reproduces the reference metric definition exactly (main.py:290-351),
     including its off-by-one: the loop breaks *after* processing batch
@@ -100,9 +103,7 @@ def compute_validation_metrics(eval_step, variables, val_iter, preprocess,
     loss = 0.0
     num_correct = 0
     for i, batch in enumerate(val_iter):
-        device_batch = dict(batch)
-        device_batch["image"] = preprocess(batch["image"])
-        m = eval_step(variables, device_batch)
+        m = eval_step(variables, prepare_batch(batch))
         num_correct += int(m["num_correct"])
         loss += float(m["loss"])
         if i >= n_iters:
