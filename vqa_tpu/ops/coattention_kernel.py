@@ -175,6 +175,207 @@ def _coattention_pallas(params, x_img, q_stacked, block_b: int = 4):
     return out_v, out_q
 
 
+def _bwd_kernel(v_ref, q_ref, wv_ref, bv_ref, wq_ref, bq_ref, sv_ref, sq_ref,
+                gv_ref, gq_ref,
+                dv_ref, dq_ref, dwv_ref, dbv_ref, dwq_ref, dbq_ref,
+                dsv_ref, dsq_ref):
+    """Analytic backward for one batch block, recompute-in-kernel.
+
+    Derivation (per level; indices s=spatial, l=seq, d=hidden):
+      Hv = tanh(VW + C^T QW), Hq = tanh(QW + C VW), C = tanh(Q V^T),
+      av = softmax(Hv w_v), aq = softmax(Hq w_q), v = av^T V, q = aq^T Q.
+    The score biases c_v/c_q get exactly zero gradient (softmax shift
+    invariance), so they are not inputs here. Parameter grads accumulate
+    across grid steps into replicated output blocks (TPU grid iterations are
+    sequential).
+    """
+    bb, s, d = v_ref.shape
+    seq_len = q_ref.shape[2]
+    f32 = jnp.float32
+
+    w_v = wv_ref[:]
+    w_q = wq_ref[:]
+    b_v = bv_ref[:].astype(f32)
+    b_q = bq_ref[:].astype(f32)
+    score_v = sv_ref[:].astype(f32)                           # [D, 1]
+    score_q = sq_ref[:].astype(f32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_accumulators():
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
+        dbv_ref[:] = jnp.zeros_like(dbv_ref)
+        dwq_ref[:] = jnp.zeros_like(dwq_ref)
+        dbq_ref[:] = jnp.zeros_like(dbq_ref)
+        dsv_ref[:] = jnp.zeros_like(dsv_ref)
+        dsq_ref[:] = jnp.zeros_like(dsq_ref)
+
+    def bdot(a, bm, dims):
+        return jax.lax.dot_general(a, bm, dimension_numbers=(dims, ((0,), (0,))),
+                                   preferred_element_type=f32)
+
+    v_all = v_ref[:].astype(f32)                              # [BB, S, D]
+    vw = (jax.lax.dot_general(
+        v_all.reshape(bb * s, d), w_v.astype(f32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) + b_v).reshape(bb, s, d)  # [BB, S, D]
+
+    dV = jnp.zeros((bb, s, d), f32)
+    dVW = jnp.zeros((bb, s, d), f32)
+    dWv = jnp.zeros((d, d), f32)
+    dWq = jnp.zeros((d, d), f32)
+    dbv = jnp.zeros((1, d), f32)
+    dbq = jnp.zeros((1, d), f32)
+    dsv_w = jnp.zeros((d, 1), f32)
+    dsq_w = jnp.zeros((d, 1), f32)
+
+    for level in range(NUM_LEVELS):
+        q_lvl = q_ref[:, level].astype(f32)                   # [BB, L, D]
+        qw = (jax.lax.dot_general(
+            q_lvl.reshape(bb * seq_len, d), w_q.astype(f32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32) + b_q).reshape(bb, seq_len, d)
+        c_aff = jnp.tanh(bdot(q_lvl, v_all, (((2,), (2,)))))  # [BB, L, S]
+        h_v = jnp.tanh(vw + bdot(c_aff, qw, (((1,), (1,)))))  # [BB, S, D]
+        h_q = jnp.tanh(qw + bdot(c_aff, vw, (((2,), (1,)))))  # [BB, L, D]
+        s_v = jax.lax.dot_general(h_v, score_v,
+                                  dimension_numbers=(((2,), (0,)), ((), ())),
+                                  preferred_element_type=f32)[..., 0]
+        s_q = jax.lax.dot_general(h_q, score_q,
+                                  dimension_numbers=(((2,), (0,)), ((), ())),
+                                  preferred_element_type=f32)[..., 0]
+        a_v = jax.nn.softmax(s_v, axis=-1)                    # [BB, S]
+        a_q = jax.nn.softmax(s_q, axis=-1)                    # [BB, L]
+
+        gv = gv_ref[:, level].astype(f32)                     # [BB, D]
+        gq = gq_ref[:, level].astype(f32)
+
+        # pooled-feature backward (elementwise+reduce: Mosaic rejects dots
+        # whose LHS has no non-contracting dims)
+        dav = jnp.sum(gv[:, None, :] * v_all, axis=-1)        # [BB, S]
+        daq = jnp.sum(gq[:, None, :] * q_lvl, axis=-1)        # [BB, L]
+        dV_lvl = a_v[:, :, None] * gv[:, None, :]             # [BB, S, D]
+        dQ_lvl = a_q[:, :, None] * gq[:, None, :]             # [BB, L, D]
+
+        # softmax backward
+        dsv = a_v * (dav - jnp.sum(a_v * dav, axis=-1, keepdims=True))
+        dsq = a_q * (daq - jnp.sum(a_q * daq, axis=-1, keepdims=True))
+
+        # score-projection backward (reshape, not integer-index: Mosaic's
+        # gather lowering rejects the squeeze-by-index pattern)
+        dHv = dsv[:, :, None] * score_v.reshape(1, 1, d)      # [BB, S, D]
+        dHq = dsq[:, :, None] * score_q.reshape(1, 1, d)
+        dsv_w = dsv_w + jnp.sum(h_v * dsv[:, :, None], axis=(0, 1))[:, None]
+        dsq_w = dsq_w + jnp.sum(h_q * dsq[:, :, None], axis=(0, 1))[:, None]
+
+        # tanh backward of Hv/Hq
+        dAv = dHv * (1.0 - h_v * h_v)                         # [BB, S, D]
+        dAq = dHq * (1.0 - h_q * h_q)                         # [BB, L, D]
+
+        # Hv = tanh(VW + C^T QW); Hq = tanh(QW + C VW)
+        dVW_lvl = dAv + bdot(c_aff, dAq, (((1,), (1,))))      # [BB, S, D]
+        dQW = dAq + bdot(c_aff, dAv, (((2,), (1,))))          # [BB, L, D]
+        dC = bdot(dAv, qw, (((2,), (2,)))).transpose(0, 2, 1) \
+            + bdot(dAq, vw, (((2,), (2,))))                   # [BB, L, S]
+
+        # C = tanh(Q V^T)
+        dA = dC * (1.0 - c_aff * c_aff)
+        dQ_lvl = dQ_lvl + bdot(dA, v_all, (((2,), (1,))))     # [BB, L, D]
+        dV_lvl = dV_lvl + bdot(dA, q_lvl, (((1,), (1,))))     # [BB, S, D]
+
+        # QW = Q Wq + bq  (reshape matmuls: contract over the in/out feature
+        # axis resp. the flattened batch*seq axis)
+        dqw2d = dQW.reshape(bb * seq_len, d)
+        dQ_lvl = dQ_lvl + jax.lax.dot_general(
+            dqw2d, w_q.astype(f32), dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32).reshape(bb, seq_len, d)
+        dWq = dWq + jax.lax.dot_general(
+            q_lvl.reshape(bb * seq_len, d), dqw2d,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                       # [in, out]
+        dbq = dbq + jnp.sum(dQW, axis=(0, 1))[None, :]
+
+        dq_ref[:, level, :] = dQ_lvl.astype(dq_ref.dtype)
+        dV = dV + dV_lvl
+        dVW = dVW + dVW_lvl
+
+    # VW = V Wv + bv (shared across levels)
+    dvw2d = dVW.reshape(bb * s, d)
+    dV = dV + jax.lax.dot_general(
+        dvw2d, w_v.astype(f32), dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32).reshape(bb, s, d)
+    dWv = dWv + jax.lax.dot_general(
+        v_all.reshape(bb * s, d), dvw2d,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)                           # [in, out]
+    dbv = dbv + jnp.sum(dVW, axis=(0, 1))[None, :]
+
+    dv_ref[:] = dV.astype(dv_ref.dtype)
+    dwv_ref[:] = dwv_ref[:] + dWv
+    dbv_ref[:] = dbv_ref[:] + dbv
+    dwq_ref[:] = dwq_ref[:] + dWq
+    dbq_ref[:] = dbq_ref[:] + dbq
+    dsv_ref[:] = dsv_ref[:] + dsv_w
+    dsq_ref[:] = dsq_ref[:] + dsq_w
+
+
+@functools.partial(jax.jit, static_argnames=("block_b",))
+def _coattention_pallas_bwd(params, x_img, q_stacked, gv, gq, block_b: int = 2):
+    """Backward pallas_call: returns (dparams, dV, dQ_stacked)."""
+    W_v, b_v, W_q, b_q, w_v, c_v, w_q, c_q = params
+    b, s, d = x_img.shape
+    seq_len = q_stacked.shape[2]
+    bb = min(block_b, b)
+    while b % bb:
+        bb -= 1
+    grid = (b // bb,)
+    dtype = x_img.dtype
+    f32 = jnp.float32
+
+    out_shape = (
+        jax.ShapeDtypeStruct((b, s, d), dtype),               # dV
+        jax.ShapeDtypeStruct((b, NUM_LEVELS, seq_len, d), dtype),  # dQ
+        jax.ShapeDtypeStruct((d, d), f32),                    # dWv
+        jax.ShapeDtypeStruct((1, d), f32),                    # dbv
+        jax.ShapeDtypeStruct((d, d), f32),                    # dWq
+        jax.ShapeDtypeStruct((1, d), f32),                    # dbq
+        jax.ShapeDtypeStruct((d, 1), f32),                    # dw_v
+        jax.ShapeDtypeStruct((d, 1), f32),                    # dw_q
+    )
+    rep = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, NUM_LEVELS, seq_len, d), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        rep(d, d), rep(1, d), rep(d, d), rep(1, d), rep(d, 1), rep(d, 1),
+        pl.BlockSpec((bb, NUM_LEVELS, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, NUM_LEVELS, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, NUM_LEVELS, seq_len, d), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        rep(d, d), rep(1, d), rep(d, d), rep(1, d), rep(d, 1), rep(d, 1),
+    )
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_use_interpret(),
+    )(x_img, q_stacked, W_v, b_v.reshape(1, d), W_q, b_q.reshape(1, d),
+      w_v, w_q, gv, gq)
+    dV, dQ, dWv, dbv, dWq, dbq, dw_v, dw_q = outs
+    dparams = (dWv.astype(W_v.dtype), dbv[0].astype(b_v.dtype),
+               dWq.astype(W_q.dtype), dbq[0].astype(b_q.dtype),
+               dw_v.astype(w_v.dtype), jnp.zeros_like(c_v),
+               dw_q.astype(w_q.dtype), jnp.zeros_like(c_q))
+    return dparams, dV, dQ
+
+
 def _xla_reference(params, x_img, q_stacked):
     """The autodiff/numerics oracle (same math as coattention_xla)."""
     from ..models.coattention import coattention_xla
@@ -193,8 +394,16 @@ def _fwd(params, x_img, q_stacked):
     return _coattention_pallas(params, x_img, q_stacked), (params, x_img, q_stacked)
 
 
+# analytic Pallas backward (recompute-in-kernel); flip off to fall back to
+# autodiff through the XLA oracle expression
+USE_PALLAS_BWD = True
+
+
 def _bwd(residuals, grads):
     params, x_img, q_stacked = residuals
+    if USE_PALLAS_BWD:
+        gv, gq = grads
+        return _coattention_pallas_bwd(params, x_img, q_stacked, gv, gq)
     _, vjp = jax.vjp(_xla_reference, params, x_img, q_stacked)
     return vjp(grads)
 
