@@ -84,3 +84,20 @@ def test_prepare_data_end_to_end(vqa_json_files, tmp_path):
     assert "cat" in v["word2idx"]
     assert v["label2idx"]["UNKNOWN"] == 0
     assert v["max_seq_length"] == 5
+
+
+def test_abstract_scenes_train(vqa_json_files, tmp_path):
+    a, q = vqa_json_files
+    out = tmp_path / "abstract.txt"
+    prepare_main(["--abstract_scene_images", "-s", "train", "-a", a, "-q", q,
+                  "-o", str(out)])
+    lines = out.read_text().strip().split("\n")
+    # 5-digit pad, .png postfix
+    assert lines[0].startswith("abstract_v002_train2015_000000000025.png\t")
+
+
+def test_abstract_scenes_val_unsupported(vqa_json_files, tmp_path):
+    a, q = vqa_json_files
+    with pytest.raises(NotImplementedError):
+        prepare_main(["--abstract_scene_images", "-s", "val", "-a", a, "-q", q,
+                      "-o", str(tmp_path / "x.txt")])

@@ -176,7 +176,7 @@ def main(argv=None):
     if args.mode == "train":
         train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh)
     else:
-        test(args, model, vocab, preprocess, make_loader, log_dir)
+        test(args, model, vocab, preprocess, make_loader, log_dir, mesh)
 
 
 def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=None):
@@ -305,11 +305,12 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
     log_file.close()
 
 
-def test(args, model, vocab, preprocess, make_loader, log_dir):
+def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
     """Test/inference mode — implemented (reference raises NotImplementedError).
 
     Evaluates ``--model_ckpt`` on ``--val_file`` with the reference metric
     definition; optionally writes per-sample predictions to ``--test_out``.
+    Shards batches over the data mesh when ``--num_devices`` > 1.
     """
     if not args.val_file:
         raise SystemExit("--mode test requires --val_file")
@@ -331,6 +332,8 @@ def test(args, model, vocab, preprocess, make_loader, log_dir):
               "initialized model")
 
     eval_step = make_eval_step(model)
+    if mesh is not None:
+        state = replicate_to_mesh(state, mesh)
     variables = state.variables()
 
     num_correct = 0
@@ -339,7 +342,7 @@ def test(args, model, vocab, preprocess, make_loader, log_dir):
     n_batches = 0
     predictions = []
     for batch in loader:
-        device_batch = _device_batch(batch, preprocess)
+        device_batch = _device_batch(batch, preprocess, mesh)
         m = eval_step(variables, device_batch)
         num_correct += int(m["num_correct"])
         loss += float(m["loss"])

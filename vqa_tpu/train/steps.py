@@ -14,8 +14,6 @@ semantics); when frozen (the default), BN uses running averages — see
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
