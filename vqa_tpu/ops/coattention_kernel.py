@@ -394,9 +394,13 @@ def _fwd(params, x_img, q_stacked):
     return _coattention_pallas(params, x_img, q_stacked), (params, x_img, q_stacked)
 
 
-# analytic Pallas backward (recompute-in-kernel); flip off to fall back to
-# autodiff through the XLA oracle expression
-USE_PALLAS_BWD = True
+# Analytic Pallas backward (recompute-in-kernel). Default off: validated in
+# interpret mode (grads match autodiff), but its Mosaic compile could not yet
+# be soak-tested on hardware through the flaky dev tunnel — the autodiff-
+# through-XLA fallback is numerically identical. Opt in via VQA_PALLAS_BWD=1.
+import os
+
+USE_PALLAS_BWD = os.environ.get("VQA_PALLAS_BWD", "0") == "1"
 
 
 def _bwd(residuals, grads):
