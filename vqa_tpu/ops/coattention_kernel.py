@@ -395,9 +395,11 @@ def _fwd(params, x_img, q_stacked):
 
 
 # Analytic Pallas backward (recompute-in-kernel). Default off: validated in
-# interpret mode (grads match autodiff), but its Mosaic compile could not yet
-# be soak-tested on hardware through the flaky dev tunnel — the autodiff-
-# through-XLA fallback is numerically identical. Opt in via VQA_PALLAS_BWD=1.
+# interpret mode (grads match autodiff), but the dev tunnel's remote compile
+# helper is OOM-killed (SIGKILL) compiling the 3-level-unrolled kernel body —
+# splitting into per-level pallas_calls is the known fix (future round). The
+# autodiff-through-XLA fallback is numerically identical. Opt in via
+# VQA_PALLAS_BWD=1.
 import os
 
 USE_PALLAS_BWD = os.environ.get("VQA_PALLAS_BWD", "0") == "1"
