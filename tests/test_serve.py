@@ -65,3 +65,29 @@ class TestServeCLI:
         assert len(lines) == 3
         rec = json.loads(lines[0])
         assert set(rec) >= {"image", "question", "answer", "prob", "topk"}
+
+
+class TestServeFromTrainedCheckpoint:
+    def test_train_then_serve(self, setup, tmp_path):
+        """The train CLI's checkpoint loads into the serving engine."""
+        from vqa_tpu.main import main as train_main
+
+        expt = str(tmp_path / "expt")
+        train_main(["--mode", "train", "--model", "baseline",
+                    "--expt_dir", expt, "--expt_name", "e", "--run_name", "r",
+                    "--train_img", setup["root"], "--train_file", setup["data"],
+                    "--vocab_file", setup["vocab"], "--batch_size", "2",
+                    "--num_epochs", "2", "--num_cls", "3", "--num_workers", "1",
+                    "--synthetic_images", "true", "--image_size", "32",
+                    "--opt_lvl", "0", "--save_interval", "2",
+                    "--log_interval", "100"])
+        ckpt = os.path.join(expt, "e", "r", "model_2.ckpt")
+        assert os.path.exists(ckpt)
+
+        vocab = Vocab.load(setup["vocab"])
+        predictor = VQAPredictor("baseline", vocab, ckpt, num_cls=3,
+                                 batch_size=2, synthetic_images=True,
+                                 image_size=32, opt_lvl=0)
+        r = predictor.predict([os.path.join(setup["root"], "a.jpg")],
+                              ["is,the,cat,black"])[0]
+        assert r["answer"] in vocab.label2idx
