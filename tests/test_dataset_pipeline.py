@@ -124,3 +124,44 @@ class TestDevicePreprocess:
         out = np.asarray(pre(raw))
         expected = (0.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
         np.testing.assert_allclose(out[0, 0, 0], expected, atol=1e-5)
+
+
+class TestDevicePrefetch:
+    def test_order_and_count(self):
+        from vqa_tpu.data.pipeline import device_prefetch
+
+        batches = [{"x": np.full((2,), i)} for i in range(5)]
+        prepared = []
+
+        def prep(b):
+            prepared.append(int(b["x"][0]))
+            return {"x": b["x"] * 10}
+
+        out = list(device_prefetch(iter(batches), prep, depth=2))
+        assert [int(o["x"][0]) for o in out] == [0, 10, 20, 30, 40]
+        assert prepared == [0, 1, 2, 3, 4]
+
+    def test_prepares_ahead(self):
+        from vqa_tpu.data.pipeline import device_prefetch
+
+        events = []
+
+        def gen():
+            for i in range(3):
+                events.append(f"host{i}")
+                yield i
+
+        def prep(i):
+            events.append(f"prep{i}")
+            return i
+
+        g = device_prefetch(gen(), prep, depth=2)
+        first = next(g)
+        # before the consumer touches batch 0, batch 1 is already prepared
+        assert first == 0
+        assert "prep1" in events
+
+    def test_short_iterator(self):
+        from vqa_tpu.data.pipeline import device_prefetch
+        assert list(device_prefetch(iter([1]), lambda x: x + 1, depth=4)) == [2]
+        assert list(device_prefetch(iter([]), lambda x: x, depth=2)) == []

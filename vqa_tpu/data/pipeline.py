@@ -155,3 +155,32 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+
+
+def device_prefetch(batch_iter, prepare_batch, depth: int = 2):
+    """Overlap H2D transfer + device preprocess with compute.
+
+    Eagerly maps ``prepare_batch`` (host batch -> device batch; e.g.
+    ``_device_batch`` in the training driver) over the iterator ``depth``
+    batches ahead. JAX dispatch is asynchronous, so the transfers and the
+    jitted preprocess of batch N+1 execute while the train step for batch N
+    is still running — the jit-mesh analog of ``prefetch_to_device``.
+    """
+    import collections
+
+    queue_ = collections.deque()
+    it = iter(batch_iter)
+
+    def fill():
+        while len(queue_) < depth:
+            try:
+                queue_.append(prepare_batch(next(it)))
+            except StopIteration:
+                return False
+        return True
+
+    fill()
+    while queue_:
+        out = queue_.popleft()
+        fill()
+        yield out

@@ -242,8 +242,11 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
     timer = StepTimer(args.batch_size)
     profile_started = profile_done = args.profile_steps <= 0
 
+    from .data.pipeline import device_prefetch
+
     for epoch in range(args.num_epochs):
-        for batch in train_loader:
+        for device_batch in device_prefetch(
+                train_loader, lambda b: _device_batch(b, preprocess, mesh)):
             # profile a post-warmup window of steps (compile excluded)
             if not profile_started and curr_step >= 3:
                 from jax import profiler as _profiler
@@ -256,7 +259,6 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                 profile_done = True
                 print_and_log(f"profiler trace written to {log_dir}", log_file)
 
-            device_batch = _device_batch(batch, preprocess, mesh)
             state, metrics = train_step(state, device_batch)
             timer.tick()
 
