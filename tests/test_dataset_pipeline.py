@@ -165,3 +165,8 @@ class TestDevicePrefetch:
         from vqa_tpu.data.pipeline import device_prefetch
         assert list(device_prefetch(iter([1]), lambda x: x + 1, depth=4)) == [2]
         assert list(device_prefetch(iter([]), lambda x: x, depth=2)) == []
+
+    def test_depth_one_passthrough(self):
+        from vqa_tpu.data.pipeline import device_prefetch
+        assert list(device_prefetch(iter([1, 2, 3]), lambda x: x * 2, depth=1)) == [2, 4, 6]
+        assert list(device_prefetch(iter([1, 2]), lambda x: x, depth=0)) == [1, 2]

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 
@@ -165,19 +166,24 @@ def device_prefetch(batch_iter, prepare_batch, depth: int = 2):
     batches ahead. JAX dispatch is asynchronous, so the transfers and the
     jitted preprocess of batch N+1 execute while the train step for batch N
     is still running — the jit-mesh analog of ``prefetch_to_device``.
-    """
-    import collections
 
-    queue_ = collections.deque()
+    Each in-flight batch stays resident on device, so ``depth`` trades HBM
+    for overlap; ``depth <= 1`` degrades to a plain unprefetched map.
+    """
     it = iter(batch_iter)
+    if depth <= 1:
+        for batch in it:
+            yield prepare_batch(batch)
+        return
+
+    queue_ = deque()
 
     def fill():
         while len(queue_) < depth:
             try:
                 queue_.append(prepare_batch(next(it)))
             except StopIteration:
-                return False
-        return True
+                return
 
     fill()
     while queue_:

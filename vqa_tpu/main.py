@@ -118,6 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="test mode: write predictions (img, question, answer) here")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace of N train steps into the run dir")
+    parser.add_argument("--prefetch_batches", type=int, default=2,
+                        help="device batches prepared ahead of the train step "
+                             "(HBM vs overlap; <=1 disables prefetch)")
     return parser
 
 
@@ -244,9 +247,12 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
 
     from .data.pipeline import device_prefetch
 
+    def prepare_batch(b):
+        return _device_batch(b, preprocess, mesh)
+
     for epoch in range(args.num_epochs):
-        for device_batch in device_prefetch(
-                train_loader, lambda b: _device_batch(b, preprocess, mesh)):
+        for device_batch in device_prefetch(train_loader, prepare_batch,
+                                            depth=args.prefetch_batches):
             # profile a post-warmup window of steps (compile excluded)
             if not profile_started and curr_step >= 3:
                 from jax import profiler as _profiler
@@ -266,8 +272,7 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                 if val_loader is not None:
                     vm = compute_validation_metrics(
                         eval_step, state.variables(), iter(val_loader),
-                        lambda b: _device_batch(b, preprocess, mesh),
-                        args.batch_size, args.val_size)
+                        prepare_batch, args.batch_size, args.val_size)
                     print_and_log(
                         "Validation Accuracy: {:.2f} %  || Validation Loss: {:.4f}"
                         .format(vm["accuracy"], vm["loss"]), log_file)
@@ -295,8 +300,7 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
         if val_loader is not None:
             vm = compute_validation_metrics(
                 eval_step, state.variables(), iter(val_loader),
-                lambda b: _device_batch(b, preprocess, mesh),
-                args.batch_size, len(val_dataset))
+                prepare_batch, args.batch_size, len(val_dataset))
             print_and_log(
                 "\nAfter {} epoch:\nValidation Accuracy: {:.2f} %  || "
                 "Validation Loss: {:.4f}\n".format(epoch + 1, vm["accuracy"],
