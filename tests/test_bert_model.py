@@ -80,3 +80,19 @@ class TestVQABertNet:
             state, m = step(state, batch)
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+class TestBertMaxLen:
+    def test_overlong_sequence_fails_loudly(self):
+        import jax
+        enc = BertQuestionEncoder(vocab_size=10, hidden_dim=16, num_layers=1,
+                                  num_heads=2, max_len=4)
+        ques = jnp.ones((1, 6), jnp.int32)
+        lens = jnp.array([6], jnp.int32)
+        with pytest.raises(ValueError, match="max_len"):
+            enc.init(jax.random.PRNGKey(0), ques, lens)
+
+    def test_registry_grows_table_with_vocab(self):
+        model, _ = build_model("bert", vocab_size=20, num_classes=3,
+                               opt_lvl=0, max_seq_length=100)
+        assert model.max_len == 100

@@ -412,3 +412,23 @@ class TestExportRoundTrip:
         for a, b in zip(jax.tree_util.tree_leaves(vs["params"]),
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPadRowExport:
+    def test_coattention_export_zeroes_pad_embedding_row(self):
+        """torch padding_idx=0 does NOT mask at forward; the exported row 0
+        must be zero or padded positions leak features into the unmasked
+        question softmax."""
+        from vqa_tpu.models.convert import to_torch
+
+        net = HierarchicalCoAttentionNet(vocab_size=12, K=3)
+        img = jnp.zeros((1, 64, 64, 3))
+        ques = jnp.ones((1, 4), jnp.int32)
+        lens = jnp.array([4], jnp.int32)
+        vs = jax.jit(net.init)({"params": jax.random.PRNGKey(0)}, img, ques, lens)
+        # the stored flax row 0 is random (masked at lookup, never trained)
+        assert np.abs(np.asarray(
+            vs["params"]["question_encoder"]["word_embedding"]["embedding"][0])
+        ).max() > 0
+        sd = to_torch("attention", vs["params"], vs["batch_stats"])
+        assert np.abs(sd["question_encoder.word_embedding.weight"][0]).max() == 0.0

@@ -217,3 +217,29 @@ class TestTrainableVGG:
         after = np.asarray(tu.flatten_dict(state.params)[
             ("image_encoder", "vgg11_encoder", "features", "conv0", "kernel")])
         np.testing.assert_array_equal(before, after)
+
+
+class TestTestMode:
+    def test_cli_test_mode_with_vgg_trained_ckpt(self, toy_data):
+        """test mode restores a checkpoint trained with --vgg_train true
+        (different optimizer pytree than the inference default)."""
+        expt = os.path.join(toy_data["root"], "expt_tm")
+        common = [
+            "--model", "baseline", "--expt_dir", expt, "--expt_name", "e",
+            "--run_name", "r", "--vocab_file", toy_data["vocab"],
+            "--num_cls", "3", "--num_workers", "1",
+            "--synthetic_images", "true", "--image_size", "32", "--opt_lvl", "0",
+            "--batch_size", "8"]
+        run_main(["--mode", "train", "--vgg_train", "true",
+                  "--train_img", toy_data["root"], "--train_file", toy_data["data"],
+                  "--num_epochs", "1", "--save_interval", "8",
+                  "--log_interval", "100"] + common)
+        log_dir = os.path.join(expt, "e", "r")
+        assert "model_8.ckpt" in os.listdir(log_dir)
+
+        out = os.path.join(toy_data["root"], "tm_preds.txt")
+        run_main(["--mode", "test", "--model_ckpt", "model_8.ckpt",
+                  "--val_img", toy_data["root"], "--val_file", toy_data["data"],
+                  "--test_out", out] + common)
+        preds = open(out).read().strip().split("\n")
+        assert len(preds) == 64  # 8 batches of 8

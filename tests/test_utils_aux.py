@@ -74,3 +74,18 @@ class TestConvertVGGTool:
         data = np.load(str(dst))
         assert any(k.startswith("params/features/conv0") for k in data.files)
         assert any(k.startswith("batch_stats/") for k in data.files)
+
+
+class TestSyncedRateTracker:
+    def test_rate_from_sync_deltas(self):
+        import time
+        from vqa_tpu.train.profiling import SyncedRateTracker
+
+        t = SyncedRateTracker(batch_size=4)
+        assert t.qa_pairs_per_sec == 0.0
+        t.mark(0)
+        time.sleep(0.05)
+        t.mark(10)
+        assert 0 < t.steps_per_sec < 10 / 0.04
+        assert t.qa_pairs_per_sec == pytest.approx(t.steps_per_sec * 4)
+        assert "QA-pairs/s" in t.summary()

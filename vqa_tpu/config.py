@@ -62,7 +62,8 @@ def compute_dtype_for_opt_lvl(opt_lvl: int):
 
 def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                 vgg_trainable: bool = False, opt_lvl: int = 1,
-                use_pallas: bool = False, s2d_first: bool = False):
+                use_pallas: bool = False, s2d_first: bool = False,
+                max_seq_length: int | None = None):
     """Instantiate a model by registry name (reference main.py:162-165).
 
     ``s2d_first`` keeps the space-to-depth first VGG stage available (same
@@ -90,7 +91,8 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
             **cfg.question_params), cfg
     if model_name == "bert":
         from .models.bert import VQABertNet
-        return VQABertNet(vocab_size=vocab_size, K=num_classes,
+        max_len = max(64, max_seq_length or 0)
+        return VQABertNet(vocab_size=vocab_size, K=num_classes, max_len=max_len,
                           vgg_trainable=vgg_trainable, dtype=dtype,
                           **cfg.question_params), cfg
     raise KeyError(model_name)

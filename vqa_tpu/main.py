@@ -152,7 +152,8 @@ def main(argv=None):
             f"-K {args.num_cls} or pass --num_cls {vocab.num_labels - 1}.")
     model, cfg = build_model(args.model, vocab.size, num_classes,
                              vgg_trainable=args.vgg_train, opt_lvl=args.opt_lvl,
-                             use_pallas=args.use_pallas)
+                             use_pallas=args.use_pallas,
+                             max_seq_length=vocab.max_seq_length)
     image_size = args.image_size or cfg.image_size
     host_size = args.host_size or image_size
     compute_dtype = compute_dtype_for_opt_lvl(args.opt_lvl)
@@ -240,9 +241,9 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
     curr_step = int(state.step)
 
     from .train.checkpoint import AsyncCheckpointer
-    from .train.profiling import StepTimer
+    from .train.profiling import SyncedRateTracker
     checkpointer = AsyncCheckpointer()
-    timer = StepTimer(args.batch_size)
+    timer = SyncedRateTracker(args.batch_size)
     profile_started = profile_done = args.profile_steps <= 0
 
     from .data.pipeline import device_prefetch
@@ -266,7 +267,6 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                 print_and_log(f"profiler trace written to {log_dir}", log_file)
 
             state, metrics = train_step(state, device_batch)
-            timer.tick()
 
             if (curr_step + 1) % args.log_interval == 0 or curr_step == 1:
                 if val_loader is not None:
@@ -279,7 +279,8 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                     writer.add_scalar("Val/Accuracy", vm["accuracy"], curr_step)
                     writer.add_scalar("Val/Loss", vm["loss"], curr_step)
 
-                loss_val = float(metrics["loss"])
+                loss_val = float(metrics["loss"])   # device sync point
+                timer.mark(curr_step)
                 writer.add_scalar("Train/Loss", loss_val, curr_step)
                 writer.add_scalar("Train/QAPairsPerSec", timer.qa_pairs_per_sec,
                                   curr_step)
@@ -326,21 +327,31 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
     init_batch = {"image": preprocess(sample["image"][:1]),
                   "question": jnp.asarray(sample["question"][:1]),
                   "ques_len": jnp.asarray(sample["ques_len"][:1])}
-    state = create_train_state(model, jax.random.PRNGKey(args.seed), init_batch,
-                               args.learning_rate, vgg_trainable=False)
     if args.model_ckpt:
+        # params-only restore: immune to the optimizer structure the
+        # checkpoint was trained with (frozen vs trainable VGG)
+        from .train.checkpoint import load_params_only
+
         ckpt_path = args.model_ckpt if os.path.exists(args.model_ckpt) \
             else os.path.join(log_dir, args.model_ckpt)
-        state = load_any(ckpt_path, state, args.model)
+        params, batch_stats = load_params_only(ckpt_path, args.model)
+        variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+        if batch_stats:
+            variables["batch_stats"] = jax.tree_util.tree_map(
+                jnp.asarray, batch_stats)
         print(f"Model loaded from {ckpt_path}")
     else:
         print("WARNING: no --model_ckpt given; evaluating a randomly "
               "initialized model")
+        state = create_train_state(model, jax.random.PRNGKey(args.seed),
+                                   init_batch, args.learning_rate,
+                                   vgg_trainable=False)
+        variables = state.variables()
 
     eval_step = make_eval_step(model)
     if mesh is not None:
-        state = replicate_to_mesh(state, mesh)
-    variables = state.variables()
+        from .parallel.mesh import replicated_sharding
+        variables = jax.device_put(variables, replicated_sharding(mesh))
 
     num_correct = 0
     total = 0

@@ -64,6 +64,11 @@ class BertQuestionEncoder(nn.Module):
     @nn.compact
     def __call__(self, x_ques, ques_len):
         b, seq_len = x_ques.shape
+        if seq_len > self.max_len:
+            raise ValueError(
+                f"question length {seq_len} exceeds the position table "
+                f"(max_len={self.max_len}); build the model with a larger "
+                f"max_len (e.g. the vocab's max_seq_length)")
         pos = jnp.arange(seq_len)
         tok = Embedding(self.vocab_size, self.hidden_dim, zero_pad_idx=True,
                         dtype=self.dtype, name="token_embedding")(x_ques)
@@ -96,6 +101,7 @@ class VQABertNet(nn.Module):
     hidden_dim: int = 768
     num_layers: int = 6
     num_heads: int = 12
+    max_len: int = 64
     vgg_trainable: bool = False
     s2d_first: bool = False
     dtype: Dtype = jnp.float32
@@ -109,7 +115,8 @@ class VQABertNet(nn.Module):
             x_img, train, use_running_stats)
         ques_emb = BertQuestionEncoder(
             self.vocab_size, self.hidden_dim, self.num_layers, self.num_heads,
-            dtype=self.dtype, name="question_encoder")(x_ques, x_ques_len)
+            max_len=self.max_len, dtype=self.dtype,
+            name="question_encoder")(x_ques, x_ques_len)
 
         x = img_emb * ques_emb
         x = Linear(1000, dtype=self.dtype, name="mlp_fc")(x)

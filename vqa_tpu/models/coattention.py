@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Embedding, LSTM, Linear
+from .layers import Embedding, LSTM, Linear, uniform_fan_init as _uniform_fan_init
 from .vgg import VGG11Encoder
 
 Dtype = Any
@@ -92,13 +92,6 @@ class PhraseConvPool(nn.Module):
         b, l, _ = cat.shape
         grouped = cat.reshape(b, l, self.emb_dim, 3)
         return jnp.max(grouped, axis=-1)                      # [B, L, E]
-
-
-def _uniform_fan_init(fan_in: int):
-    def init(key, shape, dtype=jnp.float32):
-        bound = 1.0 / (fan_in ** 0.5)
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-    return init
 
 
 class QuestionCoAttentionEncoder(nn.Module):

@@ -252,8 +252,13 @@ def coattention_to_torch(params, batch_stats) -> dict:
     vgg_stats = batch_stats["image_encoder"]["vgg11_encoder"]["features"]
     sd = vgg_features_to_torch(params["image_encoder"]["vgg11_encoder"]["features"],
                                vgg_stats, "image_encoder.vgg11_encoder")
-    sd["question_encoder.word_embedding.weight"] = \
-        np.asarray(q["word_embedding"]["embedding"]).copy()
+    emb = np.asarray(q["word_embedding"]["embedding"]).copy()
+    # the flax Embedding masks row 0 at lookup (padding_idx semantics), so the
+    # stored row keeps its random init; torch nn.Embedding(padding_idx=0) does
+    # NOT mask at forward — zero the row on export or padded positions leak
+    # nonzero features into the (deliberately unmasked) question softmax
+    emb[0] = 0.0
+    sd["question_encoder.word_embedding.weight"] = emb
     pcp = q["phrase_conv_pool"]
     for gram in ("unigram", "bigram", "trigram"):
         _flatten_into(sd, f"question_encoder.phrase_conv_pool.conv_{gram}.1",

@@ -41,18 +41,18 @@ def torch_linear_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
-def torch_bias_init(fan_in: int):
+def uniform_fan_init(fan_in: int):
+    """U(+-1/sqrt(fan_in)) — torch's default for Linear biases, RNN weights,
+    and Conv kernels/biases (with fan_in = C_in * kernel_size)."""
     def init(key, shape, dtype=jnp.float32):
         bound = 1.0 / (fan_in ** 0.5)
         return jax.random.uniform(key, shape, dtype, -bound, bound)
     return init
 
 
-def rnn_uniform_init(hidden_dim: int):
-    def init(key, shape, dtype=jnp.float32):
-        bound = 1.0 / (hidden_dim ** 0.5)
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-    return init
+# aliases with the semantic names used at call sites
+torch_bias_init = uniform_fan_init
+rnn_uniform_init = uniform_fan_init
 
 
 class Linear(nn.Module):

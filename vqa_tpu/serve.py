@@ -43,7 +43,20 @@ class VQAPredictor:
         self.vocab = vocab
         self.batch_size = batch_size
         self.synthetic_images = synthetic_images
-        num_classes = (num_cls + 1) if num_cls is not None else vocab.num_labels
+
+        loaded = None
+        if checkpoint:
+            from .train.checkpoint import load_params_only
+            loaded = load_params_only(checkpoint, model_name)
+            # head size comes from the checkpoint itself — training may have
+            # used a larger --num_cls than the vocab's realized label count
+            params = loaded[0]
+            num_classes = (params["mlp_classify"]["W_h"]["kernel"].shape[-1]
+                           if model_name == "attention"
+                           else params["fc_final"]["kernel"].shape[-1])
+        else:
+            num_classes = (num_cls + 1) if num_cls is not None else vocab.num_labels
+        self.num_classes = num_classes
         self.model, cfg = build_model(model_name, vocab.size, num_classes,
                                       opt_lvl=opt_lvl, use_pallas=use_pallas)
         self.image_size = image_size or cfg.image_size
@@ -58,19 +71,12 @@ class VQAPredictor:
         variables = jax.jit(self.model.init)(
             {"params": jax.random.PRNGKey(0)}, sample["image"],
             sample["question"], sample["ques_len"])
-        if checkpoint:
-            from .train.checkpoint import load_any
-            from .train.state import TrainState, make_optimizer
-
-            template = TrainState(step=jnp.zeros((), jnp.int32),
-                                  params=variables["params"],
-                                  batch_stats=variables.get("batch_stats", {}),
-                                  opt_state=make_optimizer(
-                                      1e-4, variables["params"], False).init(
-                                          variables["params"]),
-                                  rng=jax.random.PRNGKey(0))
-            state = load_any(checkpoint, template, model_name)
-            self.variables = state.variables()
+        if loaded is not None:
+            params, batch_stats = loaded
+            self.variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+            if batch_stats:
+                self.variables["batch_stats"] = jax.tree_util.tree_map(
+                    jnp.asarray, batch_stats)
         else:
             self.variables = variables
 
@@ -119,7 +125,10 @@ class VQAPredictor:
                                          jnp.asarray(ids), jnp.asarray(lens)))[:n]
             order = np.argsort(-probs, axis=-1)[:, :top_k]
             for row, top in zip(probs, order):
-                topk = [(self.vocab.idx2label[int(i)], float(row[i])) for i in top]
+                # class ids beyond the vocab's realized labels are untrained
+                # head slots; surface them as UNKNOWN rather than KeyError
+                topk = [(self.vocab.idx2label.get(int(i), "UNKNOWN"), float(row[i]))
+                        for i in top]
                 results.append({"answer": topk[0][0], "prob": topk[0][1],
                                 "topk": topk})
         return results
@@ -155,10 +164,15 @@ def main(argv=None):
                              image_size=args.image_size)
 
     import sys
-    lines = (sys.stdin if args.input == "-" else open(args.input)).read().strip().split("\n")
+    lines = (sys.stdin if args.input == "-" else open(args.input)).read().split("\n")
     img_paths, questions = [], []
-    for line in lines:
+    for lineno, line in enumerate(lines, 1):
+        if not line.strip():
+            continue
         parts = line.strip().split("\t")
+        if len(parts) < 2:
+            raise SystemExit(f"{args.input}:{lineno}: expected 'img\\tquestion"
+                             f"[\\tanswer]', got: {line.strip()!r}")
         img_paths.append(os.path.join(args.img_dir, parts[0]))
         questions.append(parts[1])
 

@@ -114,3 +114,24 @@ class AsyncCheckpointer:
             t = self._thread
         if t is not None:
             t.join()
+
+
+def load_params_only(path: str, model_name: str | None = None):
+    """(params, batch_stats) from a .ckpt or reference .pth — no templates.
+
+    Inference paths (serving, test mode) need only weights; restoring through
+    a full TrainState template couples them to the *optimizer structure* the
+    checkpoint was trained with (frozen-VGG multi_transform vs plain adam).
+    msgpack_restore reads the raw field dict instead, so any .ckpt loads
+    regardless of its training configuration.
+    """
+    if path.endswith(".pth"):
+        from ..models.convert import from_torch, load_torch_state_dict
+
+        sd = load_torch_state_dict(path)
+        return from_torch(model_name, sd)
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    return raw["params"], raw.get("batch_stats", {})

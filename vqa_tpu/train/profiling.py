@@ -28,8 +28,51 @@ def profile_trace(log_dir: str, enabled: bool = True):
         jax.profiler.stop_trace()
 
 
+class SyncedRateTracker:
+    """Throughput from host-sync boundaries (accurate under async dispatch).
+
+    ``tick()`` per dispatched step is misleading on this runtime: train_step
+    returns before device execution (and the tunnel's block_until_ready is a
+    no-op), so dispatch-paced durations overreport throughput. This tracker
+    is updated only at points where a device value was just fetched (the
+    loss read at each log interval) and derives the rate from (steps, wall
+    time) deltas between those true barriers.
+    """
+
+    def __init__(self, batch_size: int):
+        self.batch_size = batch_size
+        self._last: tuple[int, float] | None = None
+        self._rate = 0.0
+
+    def mark(self, step: int) -> None:
+        """Call immediately after fetching a device value at ``step``."""
+        now = time.perf_counter()
+        if self._last is not None:
+            dsteps = step - self._last[0]
+            dt = now - self._last[1]
+            if dsteps > 0 and dt > 0:
+                self._rate = dsteps / dt
+        self._last = (step, now)
+
+    @property
+    def steps_per_sec(self) -> float:
+        return self._rate
+
+    @property
+    def qa_pairs_per_sec(self) -> float:
+        return self._rate * self.batch_size
+
+    def summary(self) -> str:
+        return (f"{self.steps_per_sec:.2f} steps/s | "
+                f"{self.qa_pairs_per_sec:.0f} QA-pairs/s")
+
+
 class StepTimer:
-    """Rolling window of step durations -> steps/sec, samples/sec."""
+    """Rolling window of *dispatch* durations -> steps/sec, samples/sec.
+
+    Measures host-loop pacing, not device execution — use
+    :class:`SyncedRateTracker` for logged throughput (async dispatch makes
+    per-step wall times meaningless until a sync point)."""
 
     def __init__(self, batch_size: int, window: int = 50):
         self.batch_size = batch_size
