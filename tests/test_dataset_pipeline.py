@@ -99,14 +99,18 @@ class TestDataLoader:
         dl._epoch = 1
         assert any(orders[0] != dl._epoch_order().tolist() for _ in range(1))
 
-    def test_sharding_disjoint(self, data_file, tmp_path, word2idx, label2idx):
+    def test_sharding_disjoint_and_equal(self, data_file, tmp_path, word2idx,
+                                         label2idx):
         s0 = self._loader(data_file, tmp_path, word2idx, label2idx,
                           shard_index=0, num_shards=2, shuffle=False)
         s1 = self._loader(data_file, tmp_path, word2idx, label2idx,
                           shard_index=1, num_shards=2, shuffle=False)
         o0, o1 = set(s0._epoch_order()), set(s1._epoch_order())
         assert o0.isdisjoint(o1)
-        assert o0 | o1 == {0, 1, 2}
+        # shards are truncated to EQUAL sizes (unequal shards would
+        # desynchronize multi-host step counts): 3 samples -> 1 each
+        assert len(o0) == len(o1) == 1
+        assert o0 | o1 == {0, 1}
 
 
 class TestDevicePreprocess:

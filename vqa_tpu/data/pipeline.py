@@ -98,9 +98,12 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self._epoch))
             rng.shuffle(order)
-        # per-host shard: contiguous strided split so every host sees a
-        # disjoint, equally-sized subset each epoch
-        return order[self.shard_index::self.num_shards]
+        # per-host shard: truncate to a multiple of num_shards first so every
+        # host sees a disjoint subset of *exactly* equal size — unequal shards
+        # would desynchronize the per-host step counts (a grad-psum hang in
+        # multi-host DP)
+        n_even = (len(order) // self.num_shards) * self.num_shards
+        return order[:n_even][self.shard_index::self.num_shards]
 
     def _make_batch(self, idx: np.ndarray) -> dict:
         paths = [self.samples.image_path(i) for i in idx]
@@ -143,8 +146,10 @@ class DataLoader:
                 for s in starts:
                     if not put_or_stop(self._make_batch(order[s:s + bs])):
                         return
-            finally:
-                put_or_stop(None)
+            except BaseException as e:  # propagate to the consumer, don't
+                put_or_stop(e)          # masquerade as a clean end-of-epoch
+                return
+            put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -153,6 +158,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

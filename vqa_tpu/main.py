@@ -124,19 +124,40 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _init_shapes(preprocess, max_seq_length: int) -> dict:
+    """Shape-only sample batch for model init (avoids decoding real images).
+
+    The preprocessor resizes any host resolution to the model's input size,
+    so a tiny dummy suffices.
+    """
+    return {"image": preprocess(np.zeros((1, 8, 8, 3), np.uint8)),
+            "question": jnp.zeros((1, max_seq_length), jnp.int32),
+            "ques_len": jnp.ones((1,), jnp.int32)}
+
+
 def _device_batch(batch, preprocess, mesh=None):
-    out = {"image": preprocess(batch["image"]),
-           "question": jnp.asarray(batch["question"]),
-           "ques_len": jnp.asarray(batch["ques_len"]),
-           "label": jnp.asarray(batch["label"])}
+    raw = {"image": batch["image"],
+           "question": np.asarray(batch["question"]),
+           "ques_len": np.asarray(batch["ques_len"]),
+           "label": np.asarray(batch["label"])}
     if mesh is not None and mesh.size > 1:
-        out = shard_batch(out, mesh)
-    return out
+        # shard the small uint8 batch FIRST: the jitted preprocess then runs
+        # under GSPMD on every device instead of serializing (and risking
+        # OOM) on device 0 followed by a full-size float reshard
+        raw = shard_batch(raw, mesh)
+        raw["image"] = preprocess(raw["image"])
+        return raw
+    raw = {k: jnp.asarray(v) for k, v in raw.items()}
+    raw["image"] = preprocess(raw["image"])
+    return raw
 
 
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    from .parallel.distributed import initialize_distributed
+    initialize_distributed()  # no-op single-host; required before device use
 
     print(f"Selected Device(s): {jax.devices()[:args.num_devices]}")
 
@@ -167,11 +188,11 @@ def main(argv=None):
     from .parallel.distributed import host_shard
     shard_index, num_shards = host_shard()
 
-    def make_loader(data_file, img_dir, shuffle=True):
+    def make_loader(data_file, img_dir, shuffle=True, drop_last=True):
         samples = VQASamples(data_file, img_dir, vocab.word2idx, vocab.label2idx,
                              vocab.max_seq_length)
         loader = DataLoader(samples, args.batch_size, host_size=host_size,
-                            shuffle=shuffle, drop_last=True,
+                            shuffle=shuffle, drop_last=drop_last,
                             num_workers=args.num_workers, seed=args.seed,
                             synthetic_images=args.synthetic_images,
                             shard_index=shard_index, num_shards=num_shards)
@@ -213,11 +234,8 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
         print_and_log("NOTE: no --vgg_wts_path given; VGG starts from random "
                       "init (pretrained download is unavailable here)", log_file)
 
-    # Initialize state from one sample batch's shapes
-    sample = next(iter(train_loader))
-    init_batch = {"image": preprocess(sample["image"][:1]),
-                  "question": jnp.asarray(sample["question"][:1]),
-                  "ques_len": jnp.asarray(sample["ques_len"][:1])}
+    # Initialize state from statically-known shapes (no batch decode needed)
+    init_batch = _init_shapes(preprocess, vocab.max_seq_length)
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(model, rng, init_batch, args.learning_rate,
                                vgg_trainable=args.vgg_train,
@@ -237,8 +255,8 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
         state = replicate_to_mesh(state, mesh)
 
     steps_per_epoch = len(train_loader)
-    eta = ETAEstimator(steps_per_epoch, args.num_epochs)
     curr_step = int(state.step)
+    eta = ETAEstimator(steps_per_epoch, args.num_epochs, start_step=curr_step)
 
     from .train.checkpoint import AsyncCheckpointer
     from .train.profiling import SyncedRateTracker
@@ -269,6 +287,8 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
             state, metrics = train_step(state, device_batch)
 
             if (curr_step + 1) % args.log_interval == 0 or curr_step == 1:
+                loss_val = float(metrics["loss"])   # device sync point
+                timer.mark(curr_step)               # before validation runs
                 if val_loader is not None:
                     vm = compute_validation_metrics(
                         eval_step, state.variables(), iter(val_loader),
@@ -279,8 +299,6 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                     writer.add_scalar("Val/Accuracy", vm["accuracy"], curr_step)
                     writer.add_scalar("Val/Loss", vm["loss"], curr_step)
 
-                loss_val = float(metrics["loss"])   # device sync point
-                timer.mark(curr_step)
                 writer.add_scalar("Train/Loss", loss_val, curr_step)
                 writer.add_scalar("Train/QAPairsPerSec", timer.qa_pairs_per_sec,
                                   curr_step)
@@ -307,6 +325,10 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                 "Validation Loss: {:.4f}\n".format(epoch + 1, vm["accuracy"],
                                                    vm["loss"]), log_file)
 
+    if profile_started and not profile_done:
+        from jax import profiler as _profiler
+        _profiler.stop_trace()
+        print_and_log(f"profiler trace written to {log_dir}", log_file)
     checkpointer.wait()
     writer.close()
     log_file.close()
@@ -321,12 +343,10 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
     """
     if not args.val_file:
         raise SystemExit("--mode test requires --val_file")
-    dataset, loader = make_loader(args.val_file, args.val_img, shuffle=False)
+    # full-set evaluation: keep the final partial batch (one extra compile)
+    dataset, loader = make_loader(args.val_file, args.val_img, shuffle=False,
+                                  drop_last=False)
 
-    sample = next(iter(loader))
-    init_batch = {"image": preprocess(sample["image"][:1]),
-                  "question": jnp.asarray(sample["question"][:1]),
-                  "ques_len": jnp.asarray(sample["ques_len"][:1])}
     if args.model_ckpt:
         # params-only restore: immune to the optimizer structure the
         # checkpoint was trained with (frozen vs trainable VGG)
@@ -343,6 +363,7 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
     else:
         print("WARNING: no --model_ckpt given; evaluating a randomly "
               "initialized model")
+        init_batch = _init_shapes(preprocess, vocab.max_seq_length)
         state = create_train_state(model, jax.random.PRNGKey(args.seed),
                                    init_batch, args.learning_rate,
                                    vgg_trainable=False)

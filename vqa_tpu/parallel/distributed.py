@@ -22,12 +22,21 @@ def initialize_distributed(coordinator_address: str | None = None,
     """
     import os
 
-    if coordinator_address is None and "COORDINATOR_ADDRESS" not in os.environ \
-            and num_processes is None:
-        return  # single-host
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    # explicit coordinator envs only: infra like the axon tunnel sets
+    # TPU_WORKER_HOSTNAMES on single-host setups, so it must not trigger init
+    cluster_envs = ("JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                    "COORDINATOR_ADDRESS")
+    if (coordinator_address is None and num_processes is None
+            and not any(os.environ.get(e) for e in cluster_envs)):
+        return  # single-host: nothing to initialize
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        # backend already initialized (e.g. library use after device calls):
+        # proceed single-process rather than crashing the entry point
+        print(f"WARNING: jax.distributed.initialize skipped: {e}")
 
 
 def host_shard() -> tuple[int, int]:

@@ -24,8 +24,8 @@ def preprocess_text(text: str) -> list[str]:
 
     >>> preprocess_text('Man sleeping next to a cat on a bed.')
     ['man', 'sleeping', 'next', 'to', 'a', 'cat', 'on', 'a', 'bed']
-    >>> preprocess_text("What's,on,the,table?")  # 's dropped after punct strip
-    ['what', 'on', 'the', 'table']
+    >>> preprocess_text("What's,on,the,table?")  # apostrophe stripped in-word
+    ['whats', 'on', 'the', 'table']
     """
     # Comma-separated tokens -> space-joined sentence (reference utils.py:62-63)
     joined = " ".join(text.strip().split(","))

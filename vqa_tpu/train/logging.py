@@ -46,14 +46,22 @@ def make_summary_writer(log_dir: str):
 
 
 class ETAEstimator:
-    """Elapsed/remaining-hours estimate, identical math to main.py:249-255."""
+    """Elapsed/remaining-hours estimate (reference math, main.py:249-255).
 
-    def __init__(self, steps_per_epoch: int, n_epochs: int):
+    ``start_step`` makes the rate resume-aware: with exact checkpoint resume
+    the step counter no longer starts at 0 (unlike the reference), so the
+    per-step rate must be measured from the restored step, not from step 0.
+    """
+
+    def __init__(self, steps_per_epoch: int, n_epochs: int, start_step: int = 0):
         self.start = time()
         self.steps_per_epoch = steps_per_epoch
         self.n_epochs = n_epochs
+        self.start_step = start_step
 
     def __call__(self, curr_step: int) -> tuple[float, float]:
         elapsed = (time() - self.start) / 3600.0
-        total = (elapsed / max(curr_step, 1)) * self.steps_per_epoch * self.n_epochs
-        return elapsed, total - elapsed
+        done = max(curr_step - self.start_step, 1)
+        remaining_steps = max(
+            self.steps_per_epoch * self.n_epochs - (curr_step - self.start_step), 0)
+        return elapsed, (elapsed / done) * remaining_steps
