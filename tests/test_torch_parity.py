@@ -409,9 +409,20 @@ class TestExportRoundTrip:
         sd = to_torch("attention", vs["params"], vs["batch_stats"])
         assert "co_attention.W_b.weight" in sd  # re-synthesized for load compat
         p2, _ = coattention_from_torch(sd)
-        for a, b in zip(jax.tree_util.tree_leaves(vs["params"]),
-                        jax.tree_util.tree_leaves(p2)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        import flax.traverse_util as tu
+        flat_a = tu.flatten_dict(vs["params"])
+        flat_b = tu.flatten_dict(p2)
+        emb_key = ("question_encoder", "word_embedding", "embedding")
+        for k in flat_a:
+            a, b = np.asarray(flat_a[k]), np.asarray(flat_b[k])
+            if k == emb_key:
+                # export zeroes the pad row (masked at lookup in flax, but
+                # torch padding_idx does not mask at forward); all other rows
+                # round-trip exactly
+                assert np.abs(b[0]).max() == 0.0
+                np.testing.assert_array_equal(a[1:], b[1:])
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=str(k))
 
 
 class TestPadRowExport:
