@@ -243,3 +243,42 @@ class TestTestMode:
                   "--test_out", out] + common)
         preds = open(out).read().strip().split("\n")
         assert len(preds) == 64  # 8 batches of 8
+
+
+class TestBNMode:
+    def test_reference_quirk_mode_updates_stats_with_frozen_vgg(self, toy_data):
+        """--bn_mode batch: frozen VGG still moves BN running stats (the
+        reference's model.train() behavior); params stay fixed."""
+        import flax.traverse_util as tu
+        from vqa_tpu.config import build_model
+        from vqa_tpu.data import make_image_preprocessor
+        from vqa_tpu.train.state import create_train_state, make_optimizer
+        from vqa_tpu.train.steps import make_train_step
+        from vqa_tpu.vocab import Vocab
+
+        v = Vocab.load(toy_data["vocab"])
+        model, _ = build_model("baseline", v.size, v.num_labels,
+                               vgg_trainable=False, opt_lvl=0)
+        pre = make_image_preprocessor(32)
+        img = np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3), np.uint8)
+        ques = np.tile(np.array([[2, 3, 0]], np.int32), (4, 1))
+        init_batch = {"image": pre(img[:1]), "question": jnp.asarray(ques[:1]),
+                      "ques_len": jnp.array([2], jnp.int32)}
+        state = create_train_state(model, jax.random.PRNGKey(0), init_batch, 1e-3)
+        tx = make_optimizer(1e-3, state.params, vgg_trainable=False)
+        step = make_train_step(model, tx, vgg_trainable=False, bn_batch_stats=True)
+
+        key = ("image_encoder", "vgg11_encoder", "features", "bn0", "mean")
+        stats_before = np.asarray(tu.flatten_dict(state.batch_stats)[key])
+        conv_key = ("image_encoder", "vgg11_encoder", "features", "conv0", "kernel")
+        conv_before = np.asarray(tu.flatten_dict(state.params)[conv_key])
+
+        db = {"image": pre(img), "question": jnp.asarray(ques),
+              "ques_len": jnp.full((4,), 2, jnp.int32),
+              "label": jnp.zeros((4,), jnp.int32)}
+        state, m = step(state, db)
+        assert np.isfinite(float(m["loss"]))
+        stats_after = np.asarray(tu.flatten_dict(state.batch_stats)[key])
+        conv_after = np.asarray(tu.flatten_dict(state.params)[conv_key])
+        assert np.abs(stats_after - stats_before).max() > 0  # BN stats moved
+        np.testing.assert_array_equal(conv_before, conv_after)  # still frozen

@@ -118,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="test mode: write predictions (img, question, answer) here")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace of N train steps into the run dir")
+    parser.add_argument("--bn_mode", type=str, default="auto",
+                        choices=["auto", "batch", "running"],
+                        help="frozen-VGG BatchNorm mode during training: auto="
+                             "running stats when frozen (fixed behavior); batch="
+                             "the reference's exact quirk (batch stats even when "
+                             "frozen); running=always running stats")
     parser.add_argument("--prefetch_batches", type=int, default=2,
                         help="device batches prepared ahead of the train step "
                              "(HBM vs overlap; <=1 disables prefetch)")
@@ -248,7 +254,9 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                       "\nResuming Training...", log_file)
 
     tx = make_optimizer(args.learning_rate, state.params, args.vgg_train)
-    train_step = make_train_step(model, tx, vgg_trainable=args.vgg_train)
+    bn_batch_stats = {"auto": None, "batch": True, "running": False}[args.bn_mode]
+    train_step = make_train_step(model, tx, vgg_trainable=args.vgg_train,
+                                 bn_batch_stats=bn_batch_stats)
     eval_step = make_eval_step(model)
 
     if mesh is not None:

@@ -25,10 +25,18 @@ def cross_entropy_loss(logits, labels):
         logits.astype(jnp.float32), labels).mean()
 
 
-def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True):
-    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
+                    bn_batch_stats: bool | None = None):
+    """Build the jitted train step: (state, batch) -> (state, metrics).
 
-    use_batch_stats_bn = vgg_trainable
+    ``bn_batch_stats``: force BN mode during training. Default (None) follows
+    the policy in the module docstring (batch stats iff the VGG is
+    trainable); True reproduces the reference's exact behavior where
+    ``model.train()`` keeps even the frozen backbone's BN in batch-stats
+    mode (main.py:231 + model.py:57-59) — useful for strict training-parity
+    experiments.
+    """
+    use_batch_stats_bn = vgg_trainable if bn_batch_stats is None else bn_batch_stats
 
     def loss_fn(params, batch_stats, batch, dropout_rng):
         variables = {"params": params}
