@@ -282,3 +282,48 @@ class TestBNMode:
         conv_after = np.asarray(tu.flatten_dict(state.params)[conv_key])
         assert np.abs(stats_after - stats_before).max() > 0  # BN stats moved
         np.testing.assert_array_equal(conv_before, conv_after)  # still frozen
+
+
+class TestDeterminism:
+    """SURVEY §5.2: input-pipeline + train-step determinism stands in for the
+    (nonexistent) race-detection story — same seed must give identical losses."""
+
+    def _run(self, toy_data, seed):
+        from vqa_tpu.config import build_model
+        from vqa_tpu.data import DataLoader, VQASamples, make_image_preprocessor
+        from vqa_tpu.train.state import create_train_state, make_optimizer
+        from vqa_tpu.train.steps import make_train_step
+        from vqa_tpu.vocab import Vocab
+
+        v = Vocab.load(toy_data["vocab"])
+        model, _ = build_model("baseline", v.size, v.num_labels, opt_lvl=0)
+        s = VQASamples(toy_data["data"], toy_data["root"], v.word2idx,
+                       v.label2idx, v.max_seq_length)
+        dl = DataLoader(s, 8, host_size=32, synthetic_images=True,
+                        num_workers=2, seed=seed)
+        pre = make_image_preprocessor(32)
+        init = {"image": pre(np.zeros((1, 32, 32, 3), np.uint8)),
+                "question": jnp.zeros((1, v.max_seq_length), jnp.int32),
+                "ques_len": jnp.ones((1,), jnp.int32)}
+        state = create_train_state(model, jax.random.PRNGKey(seed), init, 1e-3)
+        tx = make_optimizer(1e-3, state.params, False)
+        step = make_train_step(model, tx)
+        losses = []
+        for batch in dl:
+            db = {"image": pre(batch["image"]),
+                  "question": jnp.asarray(batch["question"]),
+                  "ques_len": jnp.asarray(batch["ques_len"]),
+                  "label": jnp.asarray(batch["label"])}
+            state, m = step(state, db)
+            losses.append(float(m["loss"]))
+        return losses
+
+    def test_same_seed_identical_losses(self, toy_data):
+        a = self._run(toy_data, seed=11)
+        b = self._run(toy_data, seed=11)
+        assert a == b, f"non-deterministic training: {a} vs {b}"
+
+    def test_different_seed_differs(self, toy_data):
+        a = self._run(toy_data, seed=11)
+        c = self._run(toy_data, seed=12)
+        assert a != c
