@@ -96,3 +96,128 @@ class TestBertMaxLen:
         model, _ = build_model("bert", vocab_size=20, num_classes=3,
                                opt_lvl=0, max_seq_length=100)
         assert model.max_len == 100
+
+
+def _synth_hf_state_dict(hidden=768, layers=2, vocab=30522, max_pos=512,
+                         intermediate=None, seed=0):
+    """A state_dict with HuggingFace ``bert-base-uncased``'s exact key set
+    (scaled-down layer count), so the converter is tested against the real
+    naming contract, not a hand-picked subset."""
+    intermediate = intermediate or hidden * 4
+    rng = np.random.default_rng(seed)
+
+    def arr(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.02
+
+    sd = {
+        "bert.embeddings.word_embeddings.weight": arr(vocab, hidden),
+        "bert.embeddings.position_embeddings.weight": arr(max_pos, hidden),
+        "bert.embeddings.token_type_embeddings.weight": arr(2, hidden),
+        "bert.embeddings.LayerNorm.weight": np.ones(hidden, np.float32),
+        "bert.embeddings.LayerNorm.bias": np.zeros(hidden, np.float32),
+    }
+    for i in range(layers):
+        p = f"bert.encoder.layer.{i}"
+        for qkv in ("query", "key", "value"):
+            sd[f"{p}.attention.self.{qkv}.weight"] = arr(hidden, hidden)
+            sd[f"{p}.attention.self.{qkv}.bias"] = arr(hidden)
+        sd[f"{p}.attention.output.dense.weight"] = arr(hidden, hidden)
+        sd[f"{p}.attention.output.dense.bias"] = arr(hidden)
+        sd[f"{p}.attention.output.LayerNorm.weight"] = np.ones(hidden, np.float32)
+        sd[f"{p}.attention.output.LayerNorm.bias"] = np.zeros(hidden, np.float32)
+        sd[f"{p}.intermediate.dense.weight"] = arr(intermediate, hidden)
+        sd[f"{p}.intermediate.dense.bias"] = arr(intermediate)
+        sd[f"{p}.output.dense.weight"] = arr(hidden, intermediate)
+        sd[f"{p}.output.dense.bias"] = arr(hidden)
+        sd[f"{p}.output.LayerNorm.weight"] = np.ones(hidden, np.float32)
+        sd[f"{p}.output.LayerNorm.bias"] = np.zeros(hidden, np.float32)
+    sd["bert.pooler.dense.weight"] = arr(hidden, hidden)
+    sd["bert.pooler.dense.bias"] = arr(hidden)
+    return sd
+
+
+class TestHFGraft:
+    def test_graft_exact_hf_keyset(self):
+        """bert_from_hf_state_dict consumes the exact HF key set and produces
+        a params subtree the encoder accepts (same treedef + shapes)."""
+        from vqa_tpu.models.bert import bert_from_hf_state_dict
+
+        sd = _synth_hf_state_dict(hidden=768, layers=2)
+        grafted = bert_from_hf_state_dict(sd, num_layers=2, num_heads=12)
+
+        enc = BertQuestionEncoder(vocab_size=30522, hidden_dim=768,
+                                  num_layers=2, num_heads=12, max_len=512)
+        ques = jnp.array([[5, 6, 7, 0]], jnp.int32)
+        lens = jnp.array([3], jnp.int32)
+        vs = enc.init(jax.random.PRNGKey(0), ques, lens)
+
+        init_params = dict(vs["params"])
+        grafted_full = {**init_params, **grafted}
+        # every grafted leaf must match the module's expected shape
+        ip = jax.tree_util.tree_map(lambda a: a.shape, init_params)
+        gp = jax.tree_util.tree_map(lambda a: a.shape, grafted_full)
+        assert ip == gp
+        out = enc.apply({"params": grafted_full}, ques, lens)
+        assert out.shape == (1, 1024) and bool(jnp.isfinite(out).all())
+
+    def test_graft_num_heads_respected(self):
+        from vqa_tpu.models.bert import bert_from_hf_state_dict
+
+        sd = _synth_hf_state_dict(hidden=64, layers=1)
+        g = bert_from_hf_state_dict(sd, num_layers=1, num_heads=4)
+        assert g["block0"]["attention"]["query"]["kernel"].shape == (64, 4, 16)
+        with pytest.raises(ValueError, match="divisible"):
+            bert_from_hf_state_dict(sd, num_layers=1, num_heads=5)
+
+    def test_vocab_map_reindexes_embedding(self):
+        from vqa_tpu.models.bert import bert_from_hf_state_dict
+
+        sd = _synth_hf_state_dict(hidden=64, layers=1, vocab=100)
+        vmap = np.array([0, 7, 9], np.int64)
+        g = bert_from_hf_state_dict(sd, num_layers=1, num_heads=4, vocab_map=vmap)
+        np.testing.assert_array_equal(
+            g["token_embedding"]["embedding"],
+            sd["bert.embeddings.word_embeddings.weight"][vmap])
+
+
+class TestBertPthInterop:
+    def test_pth_roundtrip_and_serve_load(self, tmp_path):
+        """bert checkpoints round-trip through .pth and serve-mode loads them
+        (VQAPredictor infers the head size from fc_final)."""
+        from vqa_tpu.models.convert import from_torch, save_pth, to_torch
+        from vqa_tpu.train.checkpoint import load_params_only
+
+        model = VQABertNet(vocab_size=20, K=3, hidden_dim=16, num_layers=1,
+                           num_heads=2, max_len=8)
+        img = jnp.zeros((1, 32, 32, 3))
+        ques = jnp.array([[5, 6, 0, 0]], jnp.int32)
+        lens = jnp.array([2], jnp.int32)
+        vs = model.init({"params": jax.random.PRNGKey(0)}, img, ques, lens)
+        params, stats = vs["params"], vs.get("batch_stats", {})
+
+        sd = to_torch("bert", params, stats)
+        p2, s2 = from_torch("bert", sd)
+        import flax.traverse_util as tu
+        flat_a = {k: np.asarray(v) for k, v in tu.flatten_dict(params).items()}
+        flat_b = {k: np.asarray(v) for k, v in tu.flatten_dict(p2).items()}
+        assert set(flat_a) == set(flat_b)
+        for k in flat_a:
+            np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+        path = str(tmp_path / "bert.pth")
+        save_pth(path, "bert", params, stats)
+        p3, s3 = load_params_only(path, "bert")
+        logits_a = model.apply({"params": params, "batch_stats": stats}
+                               if stats else {"params": params}, img, ques, lens)
+        vs3 = {"params": p3}
+        if s3:
+            vs3["batch_stats"] = s3
+        logits_b = model.apply(vs3, img, ques, lens)
+        np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                                   atol=1e-6)
+
+    def test_non_bert_pth_fails_loudly(self):
+        from vqa_tpu.models.convert import bert_from_torch
+
+        with pytest.raises(ValueError, match="not a vqa_tpu bert"):
+            bert_from_torch({"fc_final.weight": np.zeros((3, 4), np.float32)})

@@ -137,3 +137,29 @@ class TestDataParallelCLI:
               "--opt_lvl", "0", "--num_devices", "2"])
         log = (tmp_path / "e" / "x" / "y" / "train_log.txt").read_text()
         assert "Validation Accuracy" in log
+
+    def test_test_mode_partial_tail_batch_on_mesh(self, eight_devices, tmp_path,
+                                                  capsys):
+        """drop_last=False eval on a mesh: the final partial batch (size not a
+        mesh multiple) is padded for sharding and weighted by real count."""
+        from vqa_tpu.vocab import save_vocab
+
+        lines = [f"img{i}.jpg\tis,the,cat,black\tyes" for i in range(13)]
+        data = tmp_path / "d.txt"
+        data.write_text("\n".join(lines) + "\n")
+        vocab = tmp_path / "v.pkl"
+        save_vocab(str(data), str(vocab), 1, 2)
+
+        from vqa_tpu.main import main
+        # batch 8 over 13 samples -> tail of 5, indivisible by the 2-dev mesh
+        main(["--mode", "test", "--model", "baseline",
+              "--expt_dir", str(tmp_path / "e"), "--expt_name", "x",
+              "--run_name", "y", "--val_img", str(tmp_path),
+              "--val_file", str(data), "--vocab_file", str(vocab),
+              "--batch_size", "8", "--num_cls", "2",
+              "--synthetic_images", "true", "--image_size", "32",
+              "--opt_lvl", "0", "--num_devices", "2",
+              "--test_out", str(tmp_path / "preds.txt")])
+        out = capsys.readouterr().out
+        assert "(13 samples)" in out
+        assert len((tmp_path / "preds.txt").read_text().strip().split("\n")) == 13

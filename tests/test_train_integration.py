@@ -244,6 +244,48 @@ class TestTestMode:
         preds = open(out).read().strip().split("\n")
         assert len(preds) == 64  # 8 batches of 8
 
+    def test_latest_ckpt_and_partial_final_batch(self, toy_data, capsys):
+        """--model_ckpt latest resolves the highest-step checkpoint, and a
+        drop_last=False tail batch contributes exactly its real samples."""
+        expt = os.path.join(toy_data["root"], "expt_latest")
+        common = [
+            "--model", "baseline", "--expt_dir", expt, "--expt_name", "e",
+            "--run_name", "r", "--vocab_file", toy_data["vocab"],
+            "--num_cls", "3", "--num_workers", "1",
+            "--synthetic_images", "true", "--image_size", "32", "--opt_lvl", "0",
+            "--batch_size", "8"]
+        run_main(["--mode", "train",
+                  "--train_img", toy_data["root"], "--train_file", toy_data["data"],
+                  "--num_epochs", "1", "--save_interval", "4",
+                  "--log_interval", "100"] + common)
+        log_dir = os.path.join(expt, "e", "r")
+        assert {"model_4.ckpt", "model_8.ckpt"} <= set(os.listdir(log_dir))
+
+        # 13-line val slice -> batches of 8 + 5 (partial tail kept)
+        lines = open(toy_data["data"]).read().strip().split("\n")[:13]
+        val13 = os.path.join(toy_data["root"], "val13.txt")
+        with open(val13, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        out = os.path.join(toy_data["root"], "latest_preds.txt")
+        run_main(["--mode", "test", "--model_ckpt", "latest",
+                  "--val_img", toy_data["root"], "--val_file", val13,
+                  "--test_out", out] + common)
+        stdout = capsys.readouterr().out
+        assert "model_8.ckpt" in stdout  # latest resolved to the higher step
+        assert "(13 samples)" in stdout
+        assert len(open(out).read().strip().split("\n")) == 13
+
+    def test_latest_without_checkpoints_fails_loudly(self, toy_data, tmp_path):
+        with pytest.raises(SystemExit, match="no model_<step>.ckpt"):
+            run_main(["--mode", "test", "--model", "baseline",
+                      "--expt_dir", str(tmp_path), "--expt_name", "e",
+                      "--run_name", "empty", "--vocab_file", toy_data["vocab"],
+                      "--num_cls", "3", "--model_ckpt", "latest",
+                      "--val_img", toy_data["root"],
+                      "--val_file", toy_data["data"],
+                      "--synthetic_images", "true", "--image_size", "32"])
+
 
 class TestBNMode:
     def test_reference_quirk_mode_updates_stats_with_frozen_vgg(self, toy_data):

@@ -116,10 +116,9 @@ class VQA:
             anns = json.load(f)
         assert isinstance(anns, list), "results is not an array of objects"
         assert set(a["question_id"] for a in anns) == set(self.getQuesIds()), (
-            "Results do not correspond to current VQA set. Either the results do "
-            "not have predictions for all question ids in annotation file or there "
-            "is atleast one question id that does not belong to the question ids "
-            "in the annotation file."
+            "Results do not match this VQA set: the result file must contain a "
+            "prediction for every question id in the annotation file and no "
+            "question ids outside it."
         )
         for ann in anns:
             qid = ann["question_id"]

@@ -141,6 +141,37 @@ def _init_shapes(preprocess, max_seq_length: int) -> dict:
             "ques_len": jnp.ones((1,), jnp.int32)}
 
 
+def _resolve_ckpt(model_ckpt: str, log_dir: str) -> str:
+    """``--model_ckpt latest`` -> highest-step model_<step>.ckpt in the run dir."""
+    if model_ckpt == "latest":
+        from .train.checkpoint import latest_checkpoint
+        path = latest_checkpoint(log_dir)
+        if path is None:
+            raise SystemExit(f"--model_ckpt latest: no model_<step>.ckpt in {log_dir}")
+        return path
+    return model_ckpt if os.path.exists(model_ckpt) \
+        else os.path.join(log_dir, model_ckpt)
+
+
+def _pad_to_multiple(batch: dict, multiple: int):
+    """Pad a host batch's leading axis to a multiple (repeat the last row).
+
+    Mesh sharding splits the leading axis across devices
+    (parallel/mesh.py:44-51), which requires divisibility; the final
+    drop_last=False eval batch may not comply. Returns (padded, n_valid).
+    """
+    n = len(batch["label"])
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch, n
+
+    def p(a):
+        a = np.asarray(a)
+        return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+
+    return {k: p(v) for k, v in batch.items()}, n
+
+
 def _device_batch(batch, preprocess, mesh=None):
     raw = {"image": batch["image"],
            "question": np.asarray(batch["question"]),
@@ -248,7 +279,7 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                                pretrained_vgg=pretrained_vgg)
 
     if args.model_ckpt:
-        ckpt_path = os.path.join(log_dir, args.model_ckpt)
+        ckpt_path = _resolve_ckpt(args.model_ckpt, log_dir)
         state = load_any(ckpt_path, state, args.model)
         print_and_log(f"Model successfully loaded from {ckpt_path}"
                       "\nResuming Training...", log_file)
@@ -360,8 +391,7 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
         # checkpoint was trained with (frozen vs trainable VGG)
         from .train.checkpoint import load_params_only
 
-        ckpt_path = args.model_ckpt if os.path.exists(args.model_ckpt) \
-            else os.path.join(log_dir, args.model_ckpt)
+        ckpt_path = _resolve_ckpt(args.model_ckpt, log_dir)
         params, batch_stats = load_params_only(ckpt_path, args.model)
         variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
         if batch_stats:
@@ -388,14 +418,18 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
     n_batches = 0
     predictions = []
     for batch in loader:
-        device_batch = _device_batch(batch, preprocess, mesh)
+        # mesh sharding needs a leading axis divisible by the device count;
+        # pad the final partial batch and weight metrics by the real count
+        padded, n = _pad_to_multiple(batch, mesh.size if mesh is not None else 1)
+        device_batch = _device_batch(padded, preprocess, mesh)
         m = eval_step(variables, device_batch)
-        num_correct += int(m["num_correct"])
-        loss += float(m["loss"])
-        total += len(batch["label"])
+        preds = np.asarray(m["pred"])[:n]
+        labels = np.asarray(batch["label"])[:n]
+        num_correct += int((preds == labels).sum())
+        loss += float(np.asarray(m["loss_per"])[:n].mean())
+        total += n
         n_batches += 1
         if args.test_out:
-            preds = np.asarray(m["pred"])
             predictions.extend(vocab.idx2label[int(p)] for p in preds)
 
     accuracy = 100.0 * num_correct / max(total, 1)

@@ -125,12 +125,15 @@ class VQABertNet(nn.Module):
         return Linear(self.K, dtype=self.dtype, name="fc_final")(x)
 
 
-def bert_from_hf_state_dict(sd: dict, num_layers: int, vocab_map=None):
+def bert_from_hf_state_dict(sd: dict, num_layers: int, vocab_map=None,
+                            num_heads: int = 12):
     """Graft HuggingFace ``bert-base-uncased`` weights onto BertQuestionEncoder.
 
     ``sd``: {name: np.ndarray} from a local HF checkpoint (torch format).
     ``vocab_map``: optional [our_vocab_size] -> HF-id array to re-index the
-    token embedding through the framework's own vocabulary. Returns a params
+    token embedding through the framework's own vocabulary. ``num_heads``
+    must match the target module's head count (the HF state_dict stores QKV
+    as fused [D, D] matrices and does not record it). Returns a params
     subtree for the ``question_encoder`` scope (embedding_fc left at init).
     """
     import numpy as np
@@ -151,7 +154,10 @@ def bert_from_hf_state_dict(sd: dict, num_layers: int, vocab_map=None):
     for i in range(num_layers):
         hf = f"bert.encoder.layer.{i}"
         hidden = sd[f"{hf}.attention.self.query.weight"].shape[0]
-        heads = 12
+        heads = num_heads
+        if hidden % heads:
+            raise ValueError(f"hidden dim {hidden} not divisible by "
+                             f"num_heads={heads}")
         head_dim = hidden // heads
 
         def qkv(name):

@@ -157,12 +157,66 @@ def coattention_from_torch(sd):
     return params, batch_stats
 
 
+def _flatten_tree(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_tree(flat: dict) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def bert_to_torch(params, batch_stats) -> dict:
+    """VQABertNet pytree -> flat torch-style state_dict.
+
+    The reference declares ``--model bert`` but never implements it
+    (/root/reference/main.py:41, README.md:137), so there is no reference
+    naming to match; keys are the flax parameter paths joined with '.',
+    prefixed ``params.`` / ``batch_stats.`` (the VGG image tower's BN stats
+    live under the latter). Arrays keep flax layouts — this format exists
+    for round-tripping bert checkpoints through .pth files, not for loading
+    into a torch module.
+    """
+    sd = _flatten_tree(params, "params")
+    sd.update(_flatten_tree(batch_stats, "batch_stats"))
+    return sd
+
+
+def bert_from_torch(sd):
+    """Inverse of :func:`bert_to_torch` -> (params, batch_stats)."""
+    params_flat = {k[len("params."):]: v for k, v in sd.items()
+                   if k.startswith("params.")}
+    stats_flat = {k[len("batch_stats."):]: v for k, v in sd.items()
+                  if k.startswith("batch_stats.")}
+    if not params_flat:
+        raise ValueError(
+            "not a vqa_tpu bert .pth: no 'params.*' keys found (bert has no "
+            "reference torch format; only files written by save_pth/"
+            "bert_to_torch load)")
+    return _unflatten_tree(params_flat), _unflatten_tree(stats_flat)
+
+
 def from_torch(model_name: str, sd):
-    """Dispatch by model name ('baseline' | 'attention')."""
+    """Dispatch by model name ('baseline' | 'attention' | 'bert')."""
     if model_name == "baseline":
         return baseline_from_torch(sd)
     if model_name == "attention":
         return coattention_from_torch(sd)
+    if model_name == "bert":
+        return bert_from_torch(sd)
     raise ValueError(f"unknown model {model_name!r}")
 
 
@@ -285,6 +339,8 @@ def to_torch(model_name: str, params, batch_stats) -> dict:
         return baseline_to_torch(params, batch_stats)
     if model_name == "attention":
         return coattention_to_torch(params, batch_stats)
+    if model_name == "bert":
+        return bert_to_torch(params, batch_stats)
     raise ValueError(f"unknown model {model_name!r}")
 
 

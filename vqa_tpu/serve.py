@@ -33,6 +33,22 @@ from .text import pad_sequences, preprocess_text
 from .vocab import UNK_TOKEN, Vocab
 
 
+def _infer_num_classes(model_name: str, params) -> int:
+    """Classifier-head width from a checkpoint's param tree.
+
+    attention ends in ``mlp_classify.W_h`` (reference model.py:412);
+    baseline/bert end in ``fc_final`` (model.py:25).
+    """
+    try:
+        if model_name == "attention":
+            return int(params["mlp_classify"]["W_h"]["kernel"].shape[-1])
+        return int(params["fc_final"]["kernel"].shape[-1])
+    except (KeyError, TypeError) as e:
+        raise ValueError(
+            f"checkpoint param tree does not match model {model_name!r} "
+            f"(missing classifier head): {e}") from e
+
+
 class VQAPredictor:
     """Compiled batch predictor over a trained checkpoint."""
 
@@ -50,10 +66,7 @@ class VQAPredictor:
             loaded = load_params_only(checkpoint, model_name)
             # head size comes from the checkpoint itself — training may have
             # used a larger --num_cls than the vocab's realized label count
-            params = loaded[0]
-            num_classes = (params["mlp_classify"]["W_h"]["kernel"].shape[-1]
-                           if model_name == "attention"
-                           else params["fc_final"]["kernel"].shape[-1])
+            num_classes = _infer_num_classes(model_name, loaded[0])
         else:
             num_classes = (num_cls + 1) if num_cls is not None else vocab.num_labels
         self.num_classes = num_classes

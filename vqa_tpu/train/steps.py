@@ -87,8 +87,12 @@ def make_eval_step(model):
                              batch["ques_len"], train=False, use_running_stats=True)
         pred = jnp.argmax(logits, axis=-1)
         correct = jnp.sum((pred == batch["label"]).astype(jnp.int32))
-        loss = cross_entropy_loss(logits, batch["label"])
-        return {"num_correct": correct, "loss": loss, "pred": pred}
+        loss_per = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), batch["label"])
+        # per-sample losses let callers weight out padding rows (test mode
+        # pads the final partial batch to a mesh multiple)
+        return {"num_correct": correct, "loss": loss_per.mean(),
+                "loss_per": loss_per, "pred": pred}
 
     return jax.jit(eval_step)
 
