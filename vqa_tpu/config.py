@@ -63,23 +63,32 @@ def compute_dtype_for_opt_lvl(opt_lvl: int):
 def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                 vgg_trainable: bool = False, opt_lvl: int = 1,
                 use_pallas: bool = False, s2d_first: bool = False,
+                conv0_pallas: bool | None = None,
                 max_seq_length: int | None = None):
     """Instantiate a model by registry name (reference main.py:162-165).
 
-    ``s2d_first`` keeps the space-to-depth first VGG stage available (same
-    math, MXU-denser contraction) but defaults off: measured end-to-end on
-    v5e the XLA-fused standard path is currently faster (83.5ms vs 100ms for
-    the b160@448 feature stack) because the s2d layout shuffle outweighs the
-    conv win. Revisit with a fused Pallas stage-1 kernel.
+    ``conv0_pallas`` (default: on iff the VGG is frozen) runs the first VGG
+    stage as the fused Pallas conv+BN+ReLU+pool kernel
+    (vqa_tpu.ops.conv_stage1) — XLA's emitter leaves the MXU ~97% idle on the
+    C_in=3 conv. Disabled when the backbone trains: the kernel's inputs are
+    stop_gradient'ed (no backward needed/defined).
+
+    ``s2d_first`` keeps the earlier XLA-level space-to-depth variant
+    available for A/B (measured net-slower: the XLA layout shuffle outweighs
+    the conv win, BASELINE.md).
     """
     cfg = MODEL_CONFIGS[model_name]
     dtype = compute_dtype_for_opt_lvl(opt_lvl)
     # trainable VGG rematerializes the conv stack in backward (HBM headroom)
     remat = vgg_trainable
+    if conv0_pallas is None:
+        conv0_pallas = not vgg_trainable
+    conv0_pallas = conv0_pallas and not s2d_first and not vgg_trainable
     if model_name == "baseline":
         from .models import VQABaselineNet
         return VQABaselineNet(vocab_size=vocab_size, K=num_classes,
                               vgg_trainable=vgg_trainable, s2d_first=s2d_first,
+                              conv0_pallas=conv0_pallas,
                               remat=remat, dtype=dtype,
                               **cfg.question_params), cfg
     if model_name == "attention":
@@ -87,12 +96,14 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
         return HierarchicalCoAttentionNet(
             vocab_size=vocab_size, K=num_classes, mlp_dim=cfg.mlp_dim,
             vgg_trainable=vgg_trainable, s2d_first=s2d_first, remat=remat,
+            conv0_pallas=conv0_pallas,
             use_pallas=use_pallas, dtype=dtype,
             **cfg.question_params), cfg
     if model_name == "bert":
         from .models.bert import VQABertNet
         max_len = max(64, max_seq_length or 0)
         return VQABertNet(vocab_size=vocab_size, K=num_classes, max_len=max_len,
-                          vgg_trainable=vgg_trainable, dtype=dtype,
+                          vgg_trainable=vgg_trainable, conv0_pallas=conv0_pallas,
+                          dtype=dtype,
                           **cfg.question_params), cfg
     raise KeyError(model_name)

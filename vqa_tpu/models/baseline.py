@@ -36,12 +36,14 @@ class ImageBaselineEncoder(nn.Module):
 
     vgg_trainable: bool = False
     s2d_first: bool = False
+    conv0_pallas: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_img, train: bool = False, use_running_stats: bool = True):
         x = VGG11Encoder(include_head=True, s2d_first=self.s2d_first,
+                         conv0_pallas=self.conv0_pallas,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
         if not self.vgg_trainable:
@@ -83,6 +85,7 @@ class VQABaselineNet(nn.Module):
     hidden_dim: int = 1024
     vgg_trainable: bool = False
     s2d_first: bool = False
+    conv0_pallas: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -91,6 +94,7 @@ class VQABaselineNet(nn.Module):
                  use_running_stats: bool = True):
         img_emb = ImageBaselineEncoder(vgg_trainable=self.vgg_trainable,
                                        s2d_first=self.s2d_first,
+                                       conv0_pallas=self.conv0_pallas,
                                        remat=self.remat,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats)

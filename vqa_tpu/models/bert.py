@@ -104,6 +104,7 @@ class VQABertNet(nn.Module):
     max_len: int = 64
     vgg_trainable: bool = False
     s2d_first: bool = False
+    conv0_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -111,6 +112,7 @@ class VQABertNet(nn.Module):
                  use_running_stats: bool = True):
         img_emb = ImageBaselineEncoder(vgg_trainable=self.vgg_trainable,
                                        s2d_first=self.s2d_first,
+                                       conv0_pallas=self.conv0_pallas,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats)
         ques_emb = BertQuestionEncoder(

@@ -113,23 +113,55 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class _BNParams(nn.Module):
+    """Bare BatchNorm params/stats with ``nn.BatchNorm``'s exact tree layout.
+
+    Exposing the raw arrays (instead of calling the module) lets the frozen
+    path fold the affine into the conv weights — see VGGFeatures.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean, var
+
+
 class VGGFeatures(nn.Module):
     """The conv stack (torch ``vgg11_bn().features``): 5 pool stages.
 
     224x224 -> [B, 7, 7, 512]; 448x448 -> [B, 14, 14, 512].
     Module names ``conv{i}`` / ``bn{i}`` index convs 0..7 for the converter.
 
-    ``s2d_first``: run stage 1 (conv 3->64 + BN + ReLU + maxpool2x2) as a 2x2
-    space-to-depth conv (12 -> 4x64 phase channels) followed by BN/ReLU and a
-    4-phase max-reduce — the same computation (BN/ReLU are elementwise and the
-    pool max becomes the phase max) but with an MXU-efficient contraction;
-    C_in=3 leaves the 128-deep systolic array ~98% idle (measured 36ms ->
-    see BASELINE.md). Stored params are unchanged (kernel rewritten on the
-    fly), so checkpoints/converters are layout-stable.
+    BN folding: in running-stats mode (frozen backbone and all eval), BN is an
+    affine constant, so its scale/shift are folded into the conv kernel/bias
+    in fp32 at apply time — the conv epilogue is just bias+ReLU, no separate
+    normalize (measured ~5-7ms/step on the b160@448 stack, BASELINE.md). The
+    fold is algebraically exact; the stored param/stat tree is identical to
+    the ``nn.BatchNorm`` layout, so checkpoints and converters are unaffected.
+    In batch-stats mode (``--vgg_train`` or ``--bn_mode batch``) BN runs
+    unfolded with fp32 statistics and momentum-0.9 running updates.
+
+    ``conv0_pallas``: run stage 1 (conv 3->64 + BN + ReLU + maxpool2x2) as one
+    fused Pallas kernel over a space-to-depth input packing (C_in=3 leaves the
+    128-deep MXU ~97% idle through XLA's conv emitter: 36ms of the 84ms
+    b160@448 stack, tools/profile_vgg.py). Only taken in running-stats mode;
+    its inputs are stop_gradient'ed (the frozen backbone needs no conv0
+    gradients — config.build_model disables it when the VGG is trainable).
+
+    ``s2d_first``: the earlier XLA-level space-to-depth variant of the same
+    idea (kept for A/B: the XLA layout shuffle made it a net loss, BASELINE.md).
     """
 
     dtype: Dtype = jnp.float32
     s2d_first: bool = False
+    conv0_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, use_running_stats: bool = True):
@@ -143,39 +175,68 @@ class VGGFeatures(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 idx += 1
                 continue
-            bn = nn.BatchNorm(use_running_average=use_running_stats, momentum=0.9,
-                              epsilon=1e-5, dtype=self.dtype, name=f"bn{conv_idx}")
-            if conv_idx == 0:
-                kernel, bias = _ConvParams(v, x.shape[-1], name="conv0")()
-                use_s2d = (self.s2d_first and x.shape[1] % 2 == 0
-                           and idx + 1 < len(cfg) and cfg[idx + 1] == "M")
-                if use_s2d:
-                    w4 = _space_to_depth_kernel(kernel)       # [3,3,4C,4*64]
-                    x_sd = _space_to_depth_2x2(x)             # [B,H/2,W/2,4C]
-                    y = jax.lax.conv_general_dilated(
-                        x_sd, w4.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                        preferred_element_type=self.dtype)
-                    b_, h_, w_, _ = y.shape
-                    y = y.reshape(b_, h_, w_, 4, v) + bias.astype(self.dtype)
-                    y = bn(y)
-                    y = nn.relu(y)
-                    x = jnp.max(y, axis=3)                    # phase max == pool
+            kernel, bias = _ConvParams(v, x.shape[-1], name=f"conv{conv_idx}")()
+            scale, bn_bias, ra_mean, ra_var = _BNParams(v, name=f"bn{conv_idx}")()
+            pool_next = idx + 1 < len(cfg) and cfg[idx + 1] == "M"
+            first_stage_2x2 = (conv_idx == 0 and pool_next
+                               and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+
+            def conv(inp, w):
+                return jax.lax.conv_general_dilated(
+                    inp, w, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype)
+
+            if use_running_stats:
+                # fold the affine-constant BN into the conv weights (fp32)
+                s = scale * jax.lax.rsqrt(ra_var.value + 1e-5)
+                w_f = (kernel * s).astype(self.dtype)
+                b_f = ((bias - ra_mean.value) * s + bn_bias).astype(self.dtype)
+                if first_stage_2x2 and self.conv0_pallas:
+                    from ..ops.conv_stage1 import conv0_bn_relu_pool
+                    x = conv0_bn_relu_pool(x, jax.lax.stop_gradient(w_f),
+                                           jax.lax.stop_gradient(b_f))
                     idx += 2                                  # conv + its 'M'
+                elif first_stage_2x2 and self.s2d_first:
+                    w4 = _space_to_depth_kernel(w_f)          # [3,3,4C,4*64]
+                    y = conv(_space_to_depth_2x2(x), w4)
+                    b_, h_, w_, _ = y.shape
+                    y = y.reshape(b_, h_, w_, 4, v) + b_f
+                    x = jnp.max(nn.relu(y), axis=3)           # phase max == pool
+                    idx += 2
                 else:
-                    y = jax.lax.conv_general_dilated(
-                        x, kernel.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                        preferred_element_type=self.dtype)
-                    x = nn.relu(bn(y + bias.astype(self.dtype)))
+                    x = nn.relu(conv(x, w_f) + b_f)
                     idx += 1
+                conv_idx += 1
+                continue
+
+            # batch-stats mode: conv, then BatchNorm with batch statistics
+            # (fp32 stats, biased variance, momentum-0.9 running update — the
+            # nn.BatchNorm semantics this replaces)
+            if first_stage_2x2 and self.s2d_first:
+                w4 = _space_to_depth_kernel(kernel)
+                y = conv(_space_to_depth_2x2(x), w4.astype(self.dtype))
+                b_, h_, w_, _ = y.shape
+                y = y.reshape(b_, h_, w_, 4, v) + bias.astype(self.dtype)
+                idx += 2
+                phase_max = True
             else:
-                x = nn.Conv(v, (3, 3), padding=1,
-                            kernel_init=conv_kaiming_normal_init,
-                            bias_init=nn.initializers.zeros, dtype=self.dtype,
-                            name=f"conv{conv_idx}")(x)
-                x = nn.relu(bn(x))
+                y = conv(x, kernel.astype(self.dtype)) + bias.astype(self.dtype)
                 idx += 1
+                phase_max = False
+            yf = y.astype(jnp.float32)
+            axes = tuple(range(yf.ndim - 1))
+            batch_mean = yf.mean(axes)
+            batch_var = yf.var(axes)
+            if self.is_mutable_collection("batch_stats") \
+                    and not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * batch_mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * batch_var
+            yn = (yf - batch_mean) * jax.lax.rsqrt(batch_var + 1e-5) \
+                * scale + bn_bias
+            x = nn.relu(yn.astype(self.dtype))
+            if phase_max:
+                x = jnp.max(x, axis=3)
             conv_idx += 1
         return x
 
@@ -214,6 +275,7 @@ class VGG11Encoder(nn.Module):
 
     include_head: bool = True
     s2d_first: bool = False
+    conv0_pallas: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -226,6 +288,7 @@ class VGG11Encoder(nn.Module):
             # for the reference's batch-160 config when --vgg_train true)
             features_cls = nn.remat(VGGFeatures, static_argnums=(2,))
         x = features_cls(dtype=self.dtype, s2d_first=self.s2d_first,
+                         conv0_pallas=self.conv0_pallas,
                          name="features")(x, use_running_stats)
         if self.include_head:
             x = adaptive_avg_pool(x, (7, 7))
