@@ -36,10 +36,9 @@ class TestCoAttentionKernel:
             np.testing.assert_allclose(out_v[i], ref_v[i], rtol=1e-5, atol=1e-5)
             np.testing.assert_allclose(out_q[i], ref_q[i], rtol=1e-5, atol=1e-5)
 
-    @pytest.mark.parametrize("pallas_bwd", [False, True])
-    def test_grads_match_xla(self, problem, pallas_bwd, monkeypatch):
-        import vqa_tpu.ops.coattention_kernel as ck
-        monkeypatch.setattr(ck, "USE_PALLAS_BWD", pallas_bwd)
+    def test_grads_match_xla(self, problem):
+        """The custom_vjp backward (autodiff through the XLA expression) must
+        match differentiating the oracle directly."""
         params, V, Q = problem
 
         def loss(fn, p, v, q):
@@ -48,8 +47,6 @@ class TestCoAttentionKernel:
 
         g_pallas = jax.grad(lambda p: loss(coattention_fused, p, V, Q))(params)
         g_xla = jax.grad(lambda p: loss(coattention_xla, p, V, Q))(params)
-        # analytic pallas backward accumulates across batch blocks in a
-        # different order than XLA's batched reduction: ~1e-3 relative noise
         for a, b in zip(jax.tree_util.tree_leaves(g_pallas),
                         jax.tree_util.tree_leaves(g_xla)):
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-3)
@@ -58,12 +55,9 @@ class TestCoAttentionKernel:
         gv_x = jax.grad(lambda v: loss(coattention_xla, params, v, Q))(V)
         np.testing.assert_allclose(gv_p, gv_x, rtol=2e-3, atol=1e-3)
 
-    def test_score_bias_grads_are_zero(self, problem, monkeypatch):
-        """softmax shift-invariance: c_v/c_q must get exactly zero grad
-        (exact zero from the analytic pallas backward; fp32 noise from
-        autodiff through the XLA softmax)."""
-        import vqa_tpu.ops.coattention_kernel as ck
-        monkeypatch.setattr(ck, "USE_PALLAS_BWD", True)
+    def test_score_bias_grads_near_zero(self, problem):
+        """softmax shift-invariance: the c_v/c_q score biases cancel in the
+        attention softmax, so their gradients are zero up to fp32 noise."""
         params, V, Q = problem
 
         def loss(p):
@@ -71,9 +65,8 @@ class TestCoAttentionKernel:
             return sum(jnp.sum(x ** 2) for x in ov + oq)
 
         g = jax.grad(loss)(params)
-        assert float(jnp.abs(g[5]).max()) == 0.0  # c_v
-        assert float(jnp.abs(g[7]).max()) == 0.0  # c_q
-        # and the XLA autodiff oracle agrees (to fp32 noise)
+        assert float(jnp.abs(g[5]).max()) < 1e-3  # c_v
+        assert float(jnp.abs(g[7]).max()) < 1e-3  # c_q
         g_x = jax.grad(lambda p: sum(jnp.sum(x ** 2) for x in
                                      sum(coattention_xla(p, V, Q), [])))(params)
         assert float(jnp.abs(g_x[5]).max()) < 1e-3
