@@ -12,8 +12,19 @@ methodology). Override via env:
 
 - ``BENCH_BATCH`` (default 160), ``BENCH_STEPS`` (default 20)
 - ``BENCH_MODEL`` ('attention' | 'baseline' | 'bert')
-- ``BENCH_MODE`` ('train' | 'eval' — eval measures inference throughput)
+- ``BENCH_MODE``:
+  * 'train' (default) / 'eval': device-resident synthetic batches — pure
+    step throughput;
+  * 'pipeline': the REAL input path end-to-end (BASELINE.json config 4):
+    disk JPEGs -> host decode (DataLoader workers) -> uint8 H2D ->
+    jitted device resize+normalize -> train step, with device_prefetch
+    overlap; reports QA/s plus the input-stall fraction. Dataset dir from
+    ``BENCH_DATA_DIR`` (default /tmp/synthvqa; auto-generated if absent);
+  * 'decode': host JPEG decode throughput, native C++ decoder vs PIL
+    (vs_baseline = native/PIL speedup).
 - ``BENCH_PALLAS`` ('1' routes co-attention through the fused Pallas kernel)
+- ``BENCH_CONV0`` ('0' disables the fused Pallas stage-1 VGG conv)
+- ``BENCH_WORKERS`` (pipeline/decode host decode threads, default 4)
 - ``BENCH_BASELINE_QPS`` (default 400.0)
 """
 
@@ -29,12 +40,142 @@ import jax.numpy as jnp
 REFERENCE_BASELINE_QPS = float(os.environ.get("BENCH_BASELINE_QPS", 400.0))
 
 
+def _ensure_dataset(data_dir: str, n_pairs: int) -> None:
+    if os.path.exists(os.path.join(data_dir, "train.txt")):
+        return
+    import subprocess
+    import sys
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(__file__), "tools",
+                                 "make_synth_dataset.py"),
+                    "--out_dir", data_dir, "--n_train", str(n_pairs),
+                    "--n_val", "64"], check=True)
+
+
+def bench_decode():
+    """Host JPEG decode: native C++ thread-pool decoder vs PIL."""
+    import time
+
+    import numpy as np
+
+    from vqa_tpu.data.images import decode_batch
+
+    data_dir = os.environ.get("BENCH_DATA_DIR", "/tmp/synthvqa")
+    workers = int(os.environ.get("BENCH_WORKERS", 4))
+    _ensure_dataset(data_dir, 2000)
+    img_dir = os.path.join(data_dir, "imgs")
+    paths = sorted(os.path.join(img_dir, p) for p in os.listdir(img_dir))
+    paths = (paths * 3)[:600]
+
+    rates = {}
+    for backend in ("pil", "native"):
+        decode_batch(paths[:32], 224, backend=backend,
+                     native_threads=workers)  # warm
+        t0 = time.perf_counter()
+        out = decode_batch(paths, 224, backend=backend, native_threads=workers)
+        dt = time.perf_counter() - t0
+        assert out.shape == (len(paths), 224, 224, 3) and out.dtype == np.uint8
+        rates[backend] = len(paths) / dt
+    print(json.dumps({
+        "metric": f"decode_images_per_sec_native_w{workers}",
+        "value": round(rates["native"], 2),
+        "unit": "images_per_sec",
+        "pil_images_per_sec": round(rates["pil"], 2),
+        "vs_baseline": round(rates["native"] / rates["pil"], 3),
+    }))
+
+
+def bench_pipeline(model_name: str, batch: int, steps: int, use_pallas: bool,
+                   conv0_pallas):
+    """End-to-end real-data train throughput: disk JPEG -> decode -> uint8
+    H2D -> device preprocess -> train step (BASELINE.json config 4)."""
+    import time
+
+    import numpy as np
+
+    from vqa_tpu.config import build_model
+    from vqa_tpu.data import DataLoader, VQASamples, make_image_preprocessor
+    from vqa_tpu.data.pipeline import device_prefetch
+    from vqa_tpu.train.state import create_train_state, make_optimizer
+    from vqa_tpu.train.steps import make_train_step
+    from vqa_tpu.vocab import Vocab
+
+    data_dir = os.environ.get("BENCH_DATA_DIR", "/tmp/synthvqa")
+    workers = int(os.environ.get("BENCH_WORKERS", 4))
+    _ensure_dataset(data_dir, max(batch * (steps + 4), 2000))
+    vocab = Vocab.load(os.path.join(data_dir, "vocab.pkl"))
+    image_size = 448 if model_name == "attention" else 224
+
+    model, _ = build_model(model_name, vocab.size, vocab.num_labels,
+                           opt_lvl=1, use_pallas=use_pallas,
+                           conv0_pallas=conv0_pallas)
+    preprocess = make_image_preprocessor(image_size, jnp.bfloat16)
+    samples = VQASamples(os.path.join(data_dir, "train.txt"),
+                         os.path.join(data_dir, "imgs"),
+                         vocab.word2idx, vocab.label2idx, vocab.max_seq_length)
+    # disk JPEGs are 224^2: host passes them through untouched (uint8 H2D is
+    # 4x lighter than f32) and the jitted preprocess resizes on device
+    loader = DataLoader(samples, batch, host_size=224, num_workers=workers,
+                        seed=0, drop_last=True)
+
+    init = {"image": preprocess(np.zeros((1, 224, 224, 3), np.uint8)),
+            "question": jnp.zeros((1, vocab.max_seq_length), jnp.int32),
+            "ques_len": jnp.ones((1,), jnp.int32)}
+    state = create_train_state(model, jax.random.PRNGKey(0), init, 1e-4)
+    tx = make_optimizer(1e-4, state.params, vgg_trainable=False)
+    train_step = make_train_step(model, tx, donate=True)
+
+    def prepare(b):
+        return {"image": preprocess(jnp.asarray(b["image"])),
+                "question": jnp.asarray(b["question"]),
+                "ques_len": jnp.asarray(b["ques_len"]),
+                "label": jnp.asarray(b["label"])}
+
+    stall = 0.0
+    done = 0
+    t0 = None
+    it = device_prefetch(iter(loader), prepare, depth=2)
+    while done < steps + 3:
+        tw = time.perf_counter()
+        try:
+            db = next(it)
+        except StopIteration:
+            it = device_prefetch(iter(loader), prepare, depth=2)
+            continue
+        wait = time.perf_counter() - tw
+        state, metrics = train_step(state, db)
+        if done == 2:  # warmup/compile done; sync then start the clock
+            float(metrics["loss"])
+            t0 = time.perf_counter()
+            stall = 0.0
+        elif done > 2:
+            stall += wait
+        done += 1
+    float(metrics["loss"])  # in-order queue: syncs every timed step
+    dt = time.perf_counter() - t0
+    qps = batch * steps / dt
+    print(json.dumps({
+        "metric": f"pipeline_train_qa_pairs_per_sec_{model_name}_b{batch}"
+                  f"_w{workers}",
+        "value": round(qps, 2),
+        "unit": "qa_pairs_per_sec",
+        "input_stall_fraction": round(stall / dt, 3),
+        "vs_baseline": round(qps / REFERENCE_BASELINE_QPS, 3),
+    }))
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", 160))
     steps = int(os.environ.get("BENCH_STEPS", 20))
     model_name = os.environ.get("BENCH_MODEL", "attention")
     mode = os.environ.get("BENCH_MODE", "train")
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    conv0_pallas = None if "BENCH_CONV0" not in os.environ \
+        else os.environ["BENCH_CONV0"] == "1"
+    if mode == "decode":
+        return bench_decode()
+    if mode == "pipeline":
+        return bench_pipeline(model_name, batch, steps, use_pallas, conv0_pallas)
     image_size = 448 if model_name == "attention" else 224
     vocab_size, num_classes, seq_len = 10000, 1001, 23
 
@@ -43,7 +184,7 @@ def main():
     from vqa_tpu.train.steps import make_train_step
 
     model, _ = build_model(model_name, vocab_size, num_classes, opt_lvl=1,
-                           use_pallas=use_pallas)
+                           use_pallas=use_pallas, conv0_pallas=conv0_pallas)
 
     rng = jax.random.PRNGKey(0)
     img = jax.random.normal(rng, (batch, image_size, image_size, 3), jnp.float32)

@@ -49,6 +49,28 @@ class TestKernelNumerics:
             conv0_bn_relu_pool(x, w, b, force="pallas")
 
 
+class TestMeshPartitioning:
+    def test_batch_sharded_pallas_stays_sharded(self):
+        """custom_partitioning: under a DP mesh the kernel runs per-shard
+        (no all-gather) and the output keeps the batch sharding."""
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the simulated 8-device mesh")
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (16, 32, 32, 3), jnp.float32)
+        w = jax.random.normal(rng, (3, 3, 3, 64), jnp.float32) * 0.1
+        b = jnp.zeros((64,), jnp.float32)
+        ref = _xla_reference(x, w, b)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        out = jax.jit(lambda x, w, b: conv0_bn_relu_pool(
+            x, w, b, force="pallas"))(xs, w, b)
+        assert out.sharding.spec == P("data")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 class TestBlocking:
     def test_row_blocks_are_multiples_of_eight(self):
         for ho, wo in [(224, 224), (112, 112), (16, 16), (8, 8), (48, 64)]:

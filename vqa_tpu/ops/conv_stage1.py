@@ -261,6 +261,51 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
 
 
+@functools.lru_cache()
+def _partitioned_conv0(variant: str, interpret: bool):
+    """GSPMD-aware wrapper: shard over batch, never gather around the kernel.
+
+    ``pl.pallas_call`` has no SPMD partitioning rule, so under a jit-GSPMD
+    mesh (parallel/mesh.py DP) the compiler would otherwise replicate the
+    op — an all-gather of the conv input. custom_partitioning declares the
+    op batch-parallel: per-device lowering on the local batch shard, weights
+    replicated. Both the legacy (partition/infer) and Shardy (sharding_rule)
+    protocols are provided; every non-batch factor needs replication (rows
+    have conv halos, channels feed the phase-max grouping).
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    def call(x, w, b):
+        return _conv0_pallas(x, w, b, variant=variant, interpret=interpret)
+
+    fn = custom_partitioning(call)
+
+    def batch_axis(arg_shapes):
+        s = getattr(arg_shapes[0], "sharding", None)
+        spec = getattr(s, "spec", None)
+        return spec[0] if spec else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(batch_axis(arg_shapes), None, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        ba = batch_axis(arg_shapes)
+        arg_sh = (NamedSharding(mesh, P(ba, None, None, None)),
+                  NamedSharding(mesh, P(None, None, None, None)),
+                  NamedSharding(mesh, P(None)))
+        return mesh, call, NamedSharding(mesh, P(ba, None, None, None)), arg_sh
+
+    fn.def_partition(
+        partition, infer_sharding_from_operands=infer,
+        # batch (and out-channel: each output channel is an independent
+        # phase-max group) partition cleanly; this framework never shards
+        # the spatial dims (h/w halos would need a halo exchange)
+        sharding_rule="b i j c, k l c o, o -> b m n o")
+    return fn
+
+
 def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
                        variant: str = "bdot"):
     """Stage-1 VGG block: conv3x3(pad1) + (folded-BN) bias + ReLU + maxpool2x2.
@@ -280,4 +325,4 @@ def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
         return _xla_reference(x, w, b)
     if not supported:
         raise ValueError(f"unsupported stage-1 shape: x{x.shape} w{w.shape}")
-    return _conv0_pallas(x, w, b, variant=variant, interpret=not _on_tpu())
+    return _partitioned_conv0(variant, not _on_tpu())(x, w, b)
