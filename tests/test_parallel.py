@@ -44,7 +44,7 @@ def tiny_problem():
     state = create_train_state(model, rng, init_batch, 1e-3)
     tx = make_optimizer(1e-3, state.params, False)
     step = make_train_step(model, tx, donate=False)
-    return state, step, batch
+    return model, state, step, batch
 
 
 class TestMesh:
@@ -69,7 +69,7 @@ class TestMesh:
 
 class TestDataParallelStep:
     def test_dp_matches_single_device(self, eight_devices, tiny_problem):
-        state, step, batch = tiny_problem
+        model, state, step, batch = tiny_problem
         # single device
         s1, m1 = step(state, batch)
         # 8-way DP
@@ -79,15 +79,44 @@ class TestDataParallelStep:
         s8, m8 = step(state_r, batch_s)
 
         assert np.allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-5)
-        # params match after one step (grad psum == full-batch grad, up to
-        # cross-device reduction reassociation)
+
+        # The DP invariant: psum of per-shard grad means == full-batch grad
+        # mean, up to fp32 reduction reassociation. Compare the *gradients*
+        # tightly — post-Adam params can't be compared tightly because the
+        # first-step update lr*g/(|g|+eps) amplifies reassociation noise
+        # unboundedly as |g| -> 0 (a near-zero-grad scalar moves by up to lr
+        # either way), so params only get an update-scale (lr=1e-3) bound.
+        from vqa_tpu.train.steps import cross_entropy_loss
+
+        def loss_fn(params, batch_stats, batch):
+            # mirrors make_train_step's loss with dropout off (deterministic)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            logits = model.apply(
+                variables, batch["image"], batch["question"],
+                batch["ques_len"], train=False, use_running_stats=True)
+            return cross_entropy_loss(logits, batch["label"])
+
+        g1 = jax.jit(jax.grad(loss_fn))(state.params, state.batch_stats, batch)
+        g8 = jax.jit(jax.grad(loss_fn))(state_r.params, state_r.batch_stats,
+                                        batch_s)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g8)):
+            a, b = np.asarray(a), np.asarray(b)
+            # the 1e-8 floor absorbs pure-cancellation leaves whose true
+            # gradient is ~0 (reassociation noise dominates their value)
+            scale = np.max(np.abs(a))
+            np.testing.assert_allclose(a, b, rtol=1e-4,
+                                       atol=1e-5 * scale + 1e-8)
+
         for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                         jax.tree_util.tree_leaves(s8.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=5e-5)
+                                       rtol=1e-3, atol=3e-4)
 
     def test_multi_step_dp(self, eight_devices, tiny_problem):
-        state, step, batch = tiny_problem
+        model, state, step, batch = tiny_problem
         mesh = get_mesh(8)
         state_r = replicate_to_mesh(state, mesh)
         batch_s = shard_batch(batch, mesh)

@@ -200,7 +200,7 @@ def _conv0_pallas(x, w, b, variant: str = "bdot", interpret: bool = False):
     xp = _pack_planar_s2d(x, wo_pad if variant == "2dw" else None)
     w4 = _pack_w4(w).astype(x.dtype)                  # [9*4C, 4O]
 
-    nhwc_out = variant != "bdot_planar"
+    nhwc_out = variant not in ("bdot_planar", "bdot_planar_raw")
     if nhwc_out:
         out_shape = jax.ShapeDtypeStruct((batch, ho, wo, out_ch), x.dtype)
         out_spec = pl.BlockSpec((1, seg, wo, out_ch), lambda i, j: (i, j, 0, 0),
@@ -252,9 +252,9 @@ def _conv0_pallas(x, w, b, variant: str = "bdot", interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, w_arg, b_arg)
-    if not nhwc_out:
+    if not nhwc_out and variant != "bdot_planar_raw":
         out = out.transpose(0, 2, 3, 1)
-    return out
+    return out  # bdot_planar_raw: [B, O, Ho, Wo] for planar-consuming stages
 
 
 def _on_tpu() -> bool:
