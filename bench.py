@@ -15,6 +15,9 @@ methodology). Override via env:
 - ``BENCH_MODE``:
   * 'train' (default) / 'eval': device-resident synthetic batches — pure
     step throughput;
+  * 'cached': train step over cached frozen-tower features
+    (``--cache_features``; vqa_tpu/data/feature_cache.py) — the steady-state
+    epoch>1 throughput of frozen-backbone training;
   * 'pipeline': the REAL input path end-to-end (BASELINE.json config 4):
     disk JPEGs -> host decode (DataLoader workers) -> uint8 H2D ->
     jitted device resize+normalize -> train step, with device_prefetch
@@ -195,6 +198,12 @@ def main():
     init_batch = {"image": img[:1], "question": ques[:1], "ques_len": lens[:1]}
     state = create_train_state(model, rng, init_batch, learning_rate=1e-4)
     device_batch = {"image": img, "question": ques, "ques_len": lens, "label": labels}
+    if mode == "cached":
+        # frozen-tower feature-cache training (--cache_features): the image
+        # entry is the cached encoder output, the step skips the VGG
+        feat_shape = (196, 512) if model_name == "attention" else (4096,)
+        device_batch["image"] = jax.random.normal(
+            rng, (batch,) + feat_shape, jnp.bfloat16)
     device_batch = jax.device_put(device_batch)
 
     # sync via host fetch: the axon PJRT tunnel's block_until_ready returns
@@ -216,7 +225,8 @@ def main():
         dt = time.perf_counter() - t0
     else:
         tx = make_optimizer(1e-4, state.params, vgg_trainable=False)
-        train_step = make_train_step(model, tx, donate=True)
+        train_step = make_train_step(model, tx, donate=True,
+                                     image_is_features=(mode == "cached"))
         for _ in range(3):
             state, metrics = train_step(state, device_batch)
         float(metrics["loss"])

@@ -71,8 +71,15 @@ class DataLoader:
                  shuffle: bool = True, drop_last: bool = True, num_workers: int = 4,
                  seed: int = 0, synthetic_images: bool = False, prefetch: int = 2,
                  shard_index: int = 0, num_shards: int = 1,
-                 decode_backend: str = "auto"):
+                 decode_backend: str = "auto", feature_cache=None):
         self.samples = samples
+        # frozen-tower feature mode: batches carry cached feature rows
+        # (vqa_tpu.data.feature_cache.FeatureCache) instead of decoded pixels
+        self.feature_cache = feature_cache
+        if feature_cache is not None:
+            self._feature_rows = np.fromiter(
+                (feature_cache.row_of[n] for n in samples.image_names),
+                np.int64, count=len(samples.image_names))
         self.batch_size = batch_size
         self.host_size = host_size
         self.shuffle = shuffle
@@ -106,11 +113,14 @@ class DataLoader:
         return order[:n_even][self.shard_index::self.num_shards]
 
     def _make_batch(self, idx: np.ndarray) -> dict:
-        paths = [self.samples.image_path(i) for i in idx]
-        images = decode_batch(paths, self.host_size, pool=self._pool,
-                              synthetic_fallback=self.synthetic_images,
-                              backend=self.decode_backend,
-                              native_threads=max(self.num_workers, 1))
+        if self.feature_cache is not None:
+            images = np.asarray(self.feature_cache.features[self._feature_rows[idx]])
+        else:
+            paths = [self.samples.image_path(i) for i in idx]
+            images = decode_batch(paths, self.host_size, pool=self._pool,
+                                  synthetic_fallback=self.synthetic_images,
+                                  backend=self.decode_backend,
+                                  native_threads=max(self.num_workers, 1))
         return {
             "image": images,
             "question": self.samples.questions[idx],

@@ -127,6 +127,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--prefetch_batches", type=int, default=2,
                         help="device batches prepared ahead of the train step "
                              "(HBM vs overlap; <=1 disables prefetch)")
+    parser.add_argument("--cache_features", type=str2bool, default="false",
+                        help="precompute the frozen image tower once per "
+                             "image into a disk cache and train the head "
+                             "against cached features (requires a frozen VGG "
+                             "in running-stats BN mode)")
+    parser.add_argument("--cache_dir", type=str, default="",
+                        help="feature-cache root (default: <run log dir>/"
+                             "feature_cache); caches are keyed by weights "
+                             "fingerprint and reused across runs")
     return parser
 
 
@@ -173,6 +182,9 @@ def _pad_to_multiple(batch: dict, multiple: int):
 
 
 def _device_batch(batch, preprocess, mesh=None):
+    # cached-feature batches arrive as floats and are already "preprocessed";
+    # pixel batches arrive uint8 and go through resize+normalize on device
+    is_pixels = np.asarray(batch["image"]).dtype == np.uint8
     raw = {"image": batch["image"],
            "question": np.asarray(batch["question"]),
            "ques_len": np.asarray(batch["ques_len"]),
@@ -182,11 +194,54 @@ def _device_batch(batch, preprocess, mesh=None):
         # under GSPMD on every device instead of serializing (and risking
         # OOM) on device 0 followed by a full-size float reshard
         raw = shard_batch(raw, mesh)
-        raw["image"] = preprocess(raw["image"])
+        if is_pixels:
+            raw["image"] = preprocess(raw["image"])
         return raw
     raw = {k: jnp.asarray(v) for k, v in raw.items()}
-    raw["image"] = preprocess(raw["image"])
+    if is_pixels:
+        raw["image"] = preprocess(raw["image"])
     return raw
+
+
+def _make_feature_encoder(model_name, model, variables, preprocess):
+    """Jitted frozen-tower encoder for the feature cache build.
+
+    Returns ``(encode_fn, fingerprint, boundary)``: ``encode_fn`` maps host
+    uint8 images -> the model's cacheable frozen representation; the
+    fingerprint covers exactly the variables the encoder consumes, so any
+    weight change invalidates caches (vqa_tpu.data.feature_cache).
+    """
+    from .data.feature_cache import variables_fingerprint
+
+    if model_name == "attention":
+        from .models.coattention import ImageCoAttentionEncoder
+        enc = ImageCoAttentionEncoder(
+            vgg_trainable=False, s2d_first=model.s2d_first,
+            conv0_pallas=model.conv0_pallas, remat=model.remat,
+            dtype=model.dtype)
+        sub_params = variables["params"]["image_encoder"]
+        sub_stats = variables.get("batch_stats", {}).get("image_encoder", {})
+        boundary = "coattn_image_encoder"
+    else:  # baseline / bert share ImageBaselineEncoder's frozen VGG tower
+        from .models.vgg import VGG11Encoder
+        enc = VGG11Encoder(include_head=True, s2d_first=model.s2d_first,
+                           conv0_pallas=model.conv0_pallas,
+                           remat=getattr(model, "remat", False),
+                           dtype=model.dtype)
+        sub_params = variables["params"]["image_encoder"]["vgg11_encoder"]
+        sub_stats = (variables.get("batch_stats", {})
+                     .get("image_encoder", {}).get("vgg11_encoder", {}))
+        boundary = "vgg11_encoder_head"
+    sub_vars = {"params": sub_params}
+    if sub_stats:
+        sub_vars["batch_stats"] = sub_stats
+
+    @jax.jit
+    def encode(images_u8):
+        x = preprocess(images_u8)
+        return enc.apply(sub_vars, x, False, True)
+
+    return encode, variables_fingerprint(sub_vars), boundary
 
 
 def main(argv=None):
@@ -225,23 +280,28 @@ def main(argv=None):
     from .parallel.distributed import host_shard
     shard_index, num_shards = host_shard()
 
-    def make_loader(data_file, img_dir, shuffle=True, drop_last=True):
-        samples = VQASamples(data_file, img_dir, vocab.word2idx, vocab.label2idx,
-                             vocab.max_seq_length)
+    def make_loader(data_file, img_dir, shuffle=True, drop_last=True,
+                    feature_cache=None, samples=None):
+        if samples is None:
+            samples = VQASamples(data_file, img_dir, vocab.word2idx,
+                                 vocab.label2idx, vocab.max_seq_length)
         loader = DataLoader(samples, args.batch_size, host_size=host_size,
                             shuffle=shuffle, drop_last=drop_last,
                             num_workers=args.num_workers, seed=args.seed,
                             synthetic_images=args.synthetic_images,
-                            shard_index=shard_index, num_shards=num_shards)
+                            shard_index=shard_index, num_shards=num_shards,
+                            feature_cache=feature_cache)
         return samples, loader
 
     if args.mode == "train":
-        train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh)
+        train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh,
+              image_size=image_size, host_size=host_size)
     else:
         test(args, model, vocab, preprocess, make_loader, log_dir, mesh)
 
 
-def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=None):
+def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=None,
+          image_size: int = 0, host_size: int = 0):
     print(f"Training Log Directory: {log_dir}\n")
     writer = make_summary_writer(log_dir)
     log_file = setup_logs_file(vars(args), log_dir)
@@ -284,11 +344,47 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
         print_and_log(f"Model successfully loaded from {ckpt_path}"
                       "\nResuming Training...", log_file)
 
+    # Frozen-tower feature cache: build (or reuse) AFTER checkpoint load so
+    # the cache fingerprints the weights actually in use, then swap the
+    # loaders to feature mode (vqa_tpu.data.feature_cache)
+    image_is_features = False
+    if args.cache_features:
+        if args.vgg_train:
+            raise SystemExit("--cache_features requires a frozen VGG "
+                             "(--vgg_train false)")
+        if args.bn_mode == "batch":
+            raise SystemExit("--cache_features requires running-stats BN: "
+                             "batch-stats features are batch-dependent and "
+                             "not cacheable (--bn_mode auto|running)")
+        from .data.feature_cache import build_or_open
+        encode, fingerprint, boundary = _make_feature_encoder(
+            args.model, model, state.variables(), preprocess)
+        cache_root = args.cache_dir or os.path.join(log_dir, "feature_cache")
+
+        def build_cache(samples):
+            return build_or_open(
+                cache_root, samples, encode, fingerprint=fingerprint,
+                image_size=image_size, dtype=model.dtype, boundary=boundary,
+                batch_size=args.batch_size, host_size=host_size,
+                num_workers=args.num_workers,
+                synthetic_images=args.synthetic_images,
+                log=lambda s: print_and_log(s, log_file))
+
+        _, train_loader = make_loader(args.train_file, args.train_img,
+                                      feature_cache=build_cache(train_dataset),
+                                      samples=train_dataset)
+        if val_dataset is not None:
+            _, val_loader = make_loader(args.val_file, args.val_img,
+                                        feature_cache=build_cache(val_dataset),
+                                        samples=val_dataset)
+        image_is_features = True
+
     tx = make_optimizer(args.learning_rate, state.params, args.vgg_train)
     bn_batch_stats = {"auto": None, "batch": True, "running": False}[args.bn_mode]
     train_step = make_train_step(model, tx, vgg_trainable=args.vgg_train,
-                                 bn_batch_stats=bn_batch_stats)
-    eval_step = make_eval_step(model)
+                                 bn_batch_stats=bn_batch_stats,
+                                 image_is_features=image_is_features)
+    eval_step = make_eval_step(model, image_is_features=image_is_features)
 
     if mesh is not None:
         state = replicate_to_mesh(state, mesh)

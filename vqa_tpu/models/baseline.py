@@ -41,11 +41,17 @@ class ImageBaselineEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_img, train: bool = False, use_running_stats: bool = True):
-        x = VGG11Encoder(include_head=True, s2d_first=self.s2d_first,
-                         conv0_pallas=self.conv0_pallas,
-                         remat=self.remat, dtype=self.dtype,
-                         name="vgg11_encoder")(x_img, train, use_running_stats)
+    def __call__(self, x_img, train: bool = False, use_running_stats: bool = True,
+                 image_is_features: bool = False):
+        if image_is_features:
+            # x_img is the frozen VGG tower's cached 4096-d output (see
+            # vqa_tpu.data.feature_cache); resume at the trainable part
+            x = x_img.astype(self.dtype)
+        else:
+            x = VGG11Encoder(include_head=True, s2d_first=self.s2d_first,
+                             conv0_pallas=self.conv0_pallas,
+                             remat=self.remat, dtype=self.dtype,
+                             name="vgg11_encoder")(x_img, train, use_running_stats)
         if not self.vgg_trainable:
             # frozen backbone (reference model.py:57-59): also skip its
             # backward pass entirely — grads would be discarded anyway
@@ -91,13 +97,13 @@ class VQABaselineNet(nn.Module):
 
     @nn.compact
     def __call__(self, x_img, x_ques, x_ques_len, train: bool = False,
-                 use_running_stats: bool = True):
+                 use_running_stats: bool = True, image_is_features: bool = False):
         img_emb = ImageBaselineEncoder(vgg_trainable=self.vgg_trainable,
                                        s2d_first=self.s2d_first,
                                        conv0_pallas=self.conv0_pallas,
                                        remat=self.remat,
                                        dtype=self.dtype, name="image_encoder")(
-            x_img, train, use_running_stats)
+            x_img, train, use_running_stats, image_is_features)
         ques_emb = QuestionBaselineEncoder(
             self.vocab_size, self.word_emb_dim, self.hidden_dim,
             dtype=self.dtype, name="question_encoder")(x_ques, x_ques_len)

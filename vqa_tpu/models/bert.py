@@ -109,12 +109,12 @@ class VQABertNet(nn.Module):
 
     @nn.compact
     def __call__(self, x_img, x_ques, x_ques_len, train: bool = False,
-                 use_running_stats: bool = True):
+                 use_running_stats: bool = True, image_is_features: bool = False):
         img_emb = ImageBaselineEncoder(vgg_trainable=self.vgg_trainable,
                                        s2d_first=self.s2d_first,
                                        conv0_pallas=self.conv0_pallas,
                                        dtype=self.dtype, name="image_encoder")(
-            x_img, train, use_running_stats)
+            x_img, train, use_running_stats, image_is_features)
         ques_emb = BertQuestionEncoder(
             self.vocab_size, self.hidden_dim, self.num_layers, self.num_heads,
             max_len=self.max_len, dtype=self.dtype,

@@ -225,16 +225,21 @@ class HierarchicalCoAttentionNet(nn.Module):
 
     @nn.compact
     def __call__(self, x_img, x_ques, x_ques_lens, train: bool = False,
-                 use_running_stats: bool = True):
+                 use_running_stats: bool = True, image_is_features: bool = False):
         x_word, x_phrase, x_sentence = QuestionCoAttentionEncoder(
             self.vocab_size, self.word_emb_dim, self.hidden_dim,
             dtype=self.dtype, name="question_encoder")(x_ques, x_ques_lens)
 
-        x_img_features = ImageCoAttentionEncoder(
-            vgg_trainable=self.vgg_trainable, s2d_first=self.s2d_first,
-            conv0_pallas=self.conv0_pallas,
-            remat=self.remat, dtype=self.dtype,
-            name="image_encoder")(x_img, train, use_running_stats)
+        if image_is_features:
+            # x_img is the frozen image tower's cached [B, S, D] output
+            # (vqa_tpu.data.feature_cache) — skip the VGG entirely
+            x_img_features = jax.lax.stop_gradient(x_img.astype(self.dtype))
+        else:
+            x_img_features = ImageCoAttentionEncoder(
+                vgg_trainable=self.vgg_trainable, s2d_first=self.s2d_first,
+                conv0_pallas=self.conv0_pallas,
+                remat=self.remat, dtype=self.dtype,
+                name="image_encoder")(x_img, train, use_running_stats)
 
         x_img_attn, x_ques_attn = ParallelCoAttention(
             self.hidden_dim, use_pallas=self.use_pallas, dtype=self.dtype,

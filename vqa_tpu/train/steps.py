@@ -26,7 +26,8 @@ def cross_entropy_loss(logits, labels):
 
 
 def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
-                    bn_batch_stats: bool | None = None):
+                    bn_batch_stats: bool | None = None,
+                    image_is_features: bool = False):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
     ``bn_batch_stats``: force BN mode during training. Default (None) follows
@@ -35,6 +36,10 @@ def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
     ``model.train()`` keeps even the frozen backbone's BN in batch-stats
     mode (main.py:231 + model.py:57-59) — useful for strict training-parity
     experiments.
+
+    ``image_is_features``: ``batch["image"]`` holds cached frozen-tower
+    features (vqa_tpu.data.feature_cache), not pixels — the image encoder
+    is skipped.
     """
     use_batch_stats_bn = vgg_trainable if bn_batch_stats is None else bn_batch_stats
 
@@ -43,7 +48,8 @@ def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
         if batch_stats:
             variables["batch_stats"] = batch_stats
         kwargs = dict(train=True, use_running_stats=not use_batch_stats_bn,
-                      rngs={"dropout": dropout_rng})
+                      rngs={"dropout": dropout_rng},
+                      image_is_features=image_is_features)
         if use_batch_stats_bn:
             logits, updates = model.apply(
                 variables, batch["image"], batch["question"], batch["ques_len"],
@@ -74,7 +80,7 @@ def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
-def make_eval_step(model):
+def make_eval_step(model, image_is_features: bool = False):
     """Build the jitted eval step: (variables, batch) -> per-batch metrics.
 
     Mirrors ``compute_validation_metrics``'s inner loop (reference
@@ -84,7 +90,8 @@ def make_eval_step(model):
 
     def eval_step(variables, batch):
         logits = model.apply(variables, batch["image"], batch["question"],
-                             batch["ques_len"], train=False, use_running_stats=True)
+                             batch["ques_len"], train=False, use_running_stats=True,
+                             image_is_features=image_is_features)
         pred = jnp.argmax(logits, axis=-1)
         correct = jnp.sum((pred == batch["label"]).astype(jnp.int32))
         loss_per = optax.softmax_cross_entropy_with_integer_labels(
