@@ -1,0 +1,106 @@
+"""True multi-process data parallelism: 2 OS processes x 4 devices each.
+
+Unlike test_parallel.py (8 simulated devices in ONE process), these tests
+execute ``jax.distributed.initialize`` for real: two coordinator-connected
+processes form the 8-device mesh, ``shard_batch`` assembles global arrays
+from per-process local shards (jax.make_array_from_process_local_data), and
+the train step's gradient reduction crosses the process boundary over gloo.
+This is the CPU stand-in for a multi-host TPU pod — the same code path
+``vqa_tpu.main`` takes when launched with cluster environment variables
+(parallel/distributed.py).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(__file__)
+WORKER = os.path.join(HERE, "_mp_train_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def worker_losses(tmp_path_factory):
+    """Launch the 2-process DP run once; yield each process's loss trace."""
+    out = tmp_path_factory.mktemp("mp")
+    port = _free_port()
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_PLATFORMS="cpu")
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(port), str(pid), "2",
+         str(out / f"loss{pid}.txt")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so}\n{se}"
+    return [np.array([float(v) for v in
+                      (out / f"loss{pid}.txt").read_text().split()])
+            for pid in range(2)]
+
+
+class TestTwoProcessDP:
+    def test_processes_agree(self, worker_losses):
+        """Both processes observe the identical global-mean loss trace."""
+        l0, l1 = worker_losses
+        np.testing.assert_allclose(l0, l1, rtol=0, atol=0)
+        assert np.isfinite(l0).all() and len(l0) == 2
+
+    def test_matches_single_process_oracle(self, worker_losses):
+        """2-process global loss == single-process full-batch loss.
+
+        The oracle runs the same model/step on the same 16-row global batch
+        in THIS process (one device, no mesh); agreement proves the
+        cross-process psum computes the true full-batch gradient step.
+        """
+        sys.path.insert(0, HERE)
+        try:
+            import _mp_train_worker as w
+        finally:
+            sys.path.pop(0)
+        oracle = w.run_steps(w.global_batch(16, 16, 3), mesh=None)
+        np.testing.assert_allclose(worker_losses[0], np.array(oracle),
+                                   rtol=2e-5, atol=1e-6)
+
+
+class TestLoaderHostSharding:
+    def test_shards_are_disjoint_and_cover(self, tmp_path):
+        """Per-host DataLoader shards partition each epoch's sample set."""
+        from vqa_tpu.data.dataset import VQASamples
+        from vqa_tpu.data.pipeline import DataLoader
+
+        lines = [f"img{i}.jpg\tis,the\tyes" for i in range(32)]
+        f = tmp_path / "d.txt"
+        f.write_text("\n".join(lines) + "\n")
+        w2i = {"<PAD>": 0, "<UNKNOWN>": 1, "is": 2, "the": 3}
+        samples = VQASamples(str(f), str(tmp_path), w2i, {"UNKNOWN": 0, "yes": 1}, 4)
+
+        orders = []
+        for shard in range(2):
+            loader = DataLoader(samples, 4, host_size=8, shuffle=True, seed=3,
+                                num_workers=0, synthetic_images=True,
+                                shard_index=shard, num_shards=2)
+            order = loader._epoch_order()
+            assert len(order) == 16  # half the dataset each
+            orders.append(set(order.tolist()))
+        assert orders[0] & orders[1] == set()          # disjoint
+        assert orders[0] | orders[1] == set(range(32))  # cover
+        # determinism across constructions: same seed -> same shard split
+        l0 = DataLoader(samples, 4, host_size=8, shuffle=True, seed=3,
+                        num_workers=0, synthetic_images=True,
+                        shard_index=0, num_shards=2)
+        a = [b["label"].tolist() for b in l0]
+        b_ = [b["label"].tolist() for b in DataLoader(
+            samples, 4, host_size=8, shuffle=True, seed=3, num_workers=0,
+            synthetic_images=True, shard_index=0, num_shards=2)]
+        assert a == b_

@@ -46,12 +46,28 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
     Requires batch size divisible by the mesh size (the loader's
     ``drop_last`` plus a mesh-multiple batch size guarantee this).
+
+    Multi-host: each process passes its *local* shard (the rows its
+    DataLoader produced via ``host_shard``); the global array is assembled
+    across processes, so the global batch is ``process_count x`` the local
+    batch. Single-host: the batch is simply split across local devices.
     """
     sharding = batch_sharding(mesh)
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()}
 
 
 def replicate_to_mesh(tree, mesh: Mesh):
-    """Replicate a pytree (e.g. TrainState) onto every device of the mesh."""
+    """Replicate a pytree (e.g. TrainState) onto every device of the mesh.
+
+    Multi-host: every process must hold identical host values (same init
+    seed / same restored checkpoint — both true by construction here).
+    """
     sharding = replicated_sharding(mesh)
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        tree)
