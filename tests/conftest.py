@@ -20,3 +20,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The suite is compile-dominated on this 1-core host (VGG/model jits are
+# re-traced per test); the persistent compilation cache makes repeat runs
+# compile-free. Keyed by HLO hash — stale entries are impossible by design.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("VQA_JAX_CACHE", "/tmp/vqa_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

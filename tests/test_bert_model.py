@@ -64,11 +64,11 @@ class TestVQABertNet:
         model = VQABertNet(vocab_size=20, K=2, hidden_dim=16, num_layers=1,
                            num_heads=2)
         rng = jax.random.PRNGKey(0)
-        img = jax.random.normal(rng, (8, 32, 32, 3))
-        ques = jnp.where(jnp.arange(8)[:, None] % 2 == 0,
+        img = jax.random.normal(rng, (4, 32, 32, 3))
+        ques = jnp.where(jnp.arange(4)[:, None] % 2 == 0,
                          jnp.array([[3, 4, 5, 0]]), jnp.array([[6, 7, 8, 0]]))
-        lens = jnp.full((8,), 3, jnp.int32)
-        labels = (jnp.arange(8) % 2).astype(jnp.int32)
+        lens = jnp.full((4,), 3, jnp.int32)
+        labels = (jnp.arange(4) % 2).astype(jnp.int32)
 
         init_batch = {"image": img[:1], "question": ques[:1], "ques_len": lens[:1]}
         state = create_train_state(model, rng, init_batch, 1e-3)
@@ -76,10 +76,10 @@ class TestVQABertNet:
         step = make_train_step(model, tx)
         batch = {"image": img, "question": ques, "ques_len": lens, "label": labels}
         losses = []
-        for _ in range(30):
+        for _ in range(15):
             state, m = step(state, batch)
             losses.append(float(m["loss"]))
-        assert losses[-1] < losses[0] * 0.5, losses[::10]
+        assert losses[-1] < losses[0] * 0.6, losses[::5]
 
 
 class TestBertMaxLen:

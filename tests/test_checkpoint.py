@@ -87,7 +87,10 @@ class TestPthInterop:
         pth = str(tmp_path / "model_5.pth")
         save_pth(pth, "baseline", state.params, state.batch_stats)
 
-        fresh = create_train_state(model, jax.random.PRNGKey(9), batch, 1e-3)
+        # a "fresh" state with different weights, without paying a second
+        # jitted init (the template tree is all load_any needs)
+        fresh = state.replace(params=jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, 0.5), state.params))
         loaded = load_any(pth, fresh, "baseline")
         # params replaced by the .pth weights...
         np.testing.assert_allclose(

@@ -21,7 +21,7 @@ def toy_data(tmp_path_factory):
     root = tmp_path_factory.mktemp("toy")
     rng = np.random.default_rng(0)
     lines = []
-    for i in range(64):
+    for i in range(24):
         kind = rng.integers(0, 2)
         if kind == 0:
             q, a = "is,the,cat,black", "yes"
@@ -44,9 +44,9 @@ def run_main(argv):
 
 BASE_ARGS = [
     "--mode", "train", "--model", "baseline",
-    "--batch_size", "8", "--num_cls", "3", "--num_workers", "2",
+    "--batch_size", "4", "--num_cls", "3", "--num_workers", "2",
     "--synthetic_images", "true", "--image_size", "32", "--opt_lvl", "0",
-    "--log_interval", "4", "--val_size", "16", "--seed", "1",
+    "--log_interval", "6", "--val_size", "8", "--seed", "1",
 ]
 
 
@@ -58,12 +58,12 @@ class TestTrainDriver:
             "--train_img", toy_data["root"], "--train_file", toy_data["data"],
             "--val_img", toy_data["root"], "--val_file", toy_data["data"],
             "--vocab_file", toy_data["vocab"],
-            "--num_epochs", "2", "--save_interval", "8"])
+            "--num_epochs", "2", "--save_interval", "4"])
 
         log_dir = os.path.join(expt, "e", "r")
         files = os.listdir(log_dir)
         assert "train_log.txt" in files
-        assert "model_8.ckpt" in files and "model_16.ckpt" in files
+        assert "model_4.ckpt" in files and "model_12.ckpt" in files
         assert any(f.startswith("events.out.tfevents") for f in files)
         log = open(os.path.join(log_dir, "train_log.txt")).read()
         assert "--mode train" in log and "Validation Accuracy" in log
@@ -73,15 +73,16 @@ class TestTrainDriver:
         args = BASE_ARGS + [
             "--expt_dir", expt, "--expt_name", "e", "--run_name", "r",
             "--train_img", toy_data["root"], "--train_file", toy_data["data"],
-            "--vocab_file", toy_data["vocab"], "--save_interval", "8"]
+            "--vocab_file", toy_data["vocab"], "--save_interval", "4"]
         run_main(args + ["--num_epochs", "1"])
         log_dir = os.path.join(expt, "e", "r")
-        assert "model_8.ckpt" in os.listdir(log_dir)
+        assert "model_4.ckpt" in os.listdir(log_dir)
 
-        # resume: step counter continues from 8, so one more epoch (8 steps)
-        # saves model_16 (the reference would restart at step 0)
-        run_main(args + ["--num_epochs", "1", "--model_ckpt", "model_8.ckpt"])
-        assert "model_16.ckpt" in os.listdir(log_dir)
+        # resume: step counter continues from 4 (exact restore), so one more
+        # epoch (6 steps) crosses step 8 and saves model_8 (the reference
+        # would restart at step 0)
+        run_main(args + ["--num_epochs", "1", "--model_ckpt", "model_4.ckpt"])
+        assert "model_8.ckpt" in os.listdir(log_dir)
 
     def test_loss_decreases_on_learnable_toy(self, toy_data):
         """Question-only signal: loss should drop substantially in 30 steps."""
@@ -95,7 +96,7 @@ class TestTrainDriver:
         model, _ = build_model("baseline", v.size, v.num_labels, opt_lvl=0)
         s = VQASamples(toy_data["data"], toy_data["root"], v.word2idx,
                        v.label2idx, v.max_seq_length)
-        dl = DataLoader(s, 16, host_size=32, synthetic_images=True,
+        dl = DataLoader(s, 8, host_size=32, synthetic_images=True,
                         num_workers=2, seed=0)
         pre = make_image_preprocessor(32)
 
@@ -109,7 +110,7 @@ class TestTrainDriver:
         step = make_train_step(model, tx)
 
         losses = []
-        for _ in range(5):
+        for _ in range(7):
             for batch in dl:
                 db = {"image": pre(batch["image"]),
                       "question": jnp.asarray(batch["question"]),
@@ -158,7 +159,7 @@ class TestTrainableVGG:
         assert model.remat  # trainable VGG engages rematerialization
         s = VQASamples(toy_data["data"], toy_data["root"], v.word2idx,
                        v.label2idx, v.max_seq_length)
-        dl = DataLoader(s, 8, host_size=32, synthetic_images=True,
+        dl = DataLoader(s, 4, host_size=32, synthetic_images=True,
                         num_workers=1, seed=0)
         pre = make_image_preprocessor(32)
         b = next(iter(dl))
@@ -232,17 +233,17 @@ class TestTestMode:
             "--batch_size", "8"]
         run_main(["--mode", "train", "--vgg_train", "true",
                   "--train_img", toy_data["root"], "--train_file", toy_data["data"],
-                  "--num_epochs", "1", "--save_interval", "8",
+                  "--num_epochs", "1", "--save_interval", "3",
                   "--log_interval", "100"] + common)
         log_dir = os.path.join(expt, "e", "r")
-        assert "model_8.ckpt" in os.listdir(log_dir)
+        assert "model_3.ckpt" in os.listdir(log_dir)
 
         out = os.path.join(toy_data["root"], "tm_preds.txt")
-        run_main(["--mode", "test", "--model_ckpt", "model_8.ckpt",
+        run_main(["--mode", "test", "--model_ckpt", "model_3.ckpt",
                   "--val_img", toy_data["root"], "--val_file", toy_data["data"],
                   "--test_out", out] + common)
         preds = open(out).read().strip().split("\n")
-        assert len(preds) == 64  # 8 batches of 8
+        assert len(preds) == 24  # 3 batches of 8
 
     def test_latest_ckpt_and_partial_final_batch(self, toy_data, capsys):
         """--model_ckpt latest resolves the highest-step checkpoint, and a
@@ -253,15 +254,15 @@ class TestTestMode:
             "--run_name", "r", "--vocab_file", toy_data["vocab"],
             "--num_cls", "3", "--num_workers", "1",
             "--synthetic_images", "true", "--image_size", "32", "--opt_lvl", "0",
-            "--batch_size", "8"]
+            "--batch_size", "4"]
         run_main(["--mode", "train",
                   "--train_img", toy_data["root"], "--train_file", toy_data["data"],
-                  "--num_epochs", "1", "--save_interval", "4",
+                  "--num_epochs", "1", "--save_interval", "2",
                   "--log_interval", "100"] + common)
         log_dir = os.path.join(expt, "e", "r")
-        assert {"model_4.ckpt", "model_8.ckpt"} <= set(os.listdir(log_dir))
+        assert {"model_4.ckpt", "model_6.ckpt"} <= set(os.listdir(log_dir))
 
-        # 13-line val slice -> batches of 8 + 5 (partial tail kept)
+        # 13-line val slice -> batches of 4 + a tail of 1 (partial kept)
         lines = open(toy_data["data"]).read().strip().split("\n")[:13]
         val13 = os.path.join(toy_data["root"], "val13.txt")
         with open(val13, "w") as f:
@@ -272,7 +273,7 @@ class TestTestMode:
                   "--val_img", toy_data["root"], "--val_file", val13,
                   "--test_out", out] + common)
         stdout = capsys.readouterr().out
-        assert "model_8.ckpt" in stdout  # latest resolved to the higher step
+        assert "model_6.ckpt" in stdout  # latest resolved to the higher step
         assert "(13 samples)" in stdout
         assert len(open(out).read().strip().split("\n")) == 13
 
