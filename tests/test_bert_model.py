@@ -56,6 +56,7 @@ class TestVQABertNet:
         out = model.apply(vs, img, ques, lens)
         assert out.shape == (2, 4)
 
+    @pytest.mark.slow
     def test_train_step_learns(self):
         """A few steps on a separable toy task reduce the loss."""
         from vqa_tpu.train.state import create_train_state, make_optimizer
@@ -181,6 +182,7 @@ class TestHFGraft:
 
 
 class TestBertPthInterop:
+    @pytest.mark.slow
     def test_pth_roundtrip_and_serve_load(self, tmp_path):
         """bert checkpoints round-trip through .pth and serve-mode loads them
         (VQAPredictor infers the head size from fc_final)."""

@@ -28,6 +28,7 @@ def small_state():
 
 
 class TestSaveRestore:
+    @pytest.mark.slow
     def test_roundtrip_full_state(self, small_state, tmp_path):
         state = small_state.replace(step=jnp.asarray(7, jnp.int32))
         path = save_checkpoint(state, str(tmp_path))
@@ -46,6 +47,7 @@ class TestSaveRestore:
         save_checkpoint(small_state, str(tmp_path), step=1)
         assert not any(f.endswith(".tmp") for f in os.listdir(tmp_path))
 
+    @pytest.mark.slow
     def test_latest_checkpoint(self, small_state, tmp_path):
         assert latest_checkpoint(str(tmp_path)) is None
         for s in (3, 10, 5):
@@ -73,6 +75,7 @@ class TestAsyncCheckpointer:
 
 
 class TestPthInterop:
+    @pytest.mark.slow
     def test_load_any_pth(self, tmp_path):
         torch = pytest.importorskip("torch")
         from vqa_tpu.models import VQABaselineNet

@@ -49,6 +49,7 @@ def worker_losses(tmp_path_factory):
             for pid in range(2)]
 
 
+@pytest.mark.slow
 class TestTwoProcessDP:
     def test_processes_agree(self, worker_losses):
         """Both processes observe the identical global-mean loss trace."""

@@ -68,6 +68,7 @@ class TestMesh:
 
 
 class TestDataParallelStep:
+    @pytest.mark.slow
     def test_dp_matches_single_device(self, eight_devices, tiny_problem):
         model, state, step, batch = tiny_problem
         # single device
@@ -142,6 +143,7 @@ class TestDryrunEntry:
 
 
 class TestDataParallelCLI:
+    @pytest.mark.slow
     def test_train_cli_with_num_devices(self, eight_devices, tmp_path):
         """Full CLI run sharded over 2 devices, incl. sharded validation."""
         from vqa_tpu.vocab import save_vocab
@@ -167,6 +169,7 @@ class TestDataParallelCLI:
         log = (tmp_path / "e" / "x" / "y" / "train_log.txt").read_text()
         assert "Validation Accuracy" in log
 
+    @pytest.mark.slow
     def test_test_mode_partial_tail_batch_on_mesh(self, eight_devices, tmp_path,
                                                   capsys):
         """drop_last=False eval on a mesh: the final partial batch (size not a

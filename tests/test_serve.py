@@ -68,6 +68,7 @@ class TestServeCLI:
 
 
 class TestServeFromTrainedCheckpoint:
+    @pytest.mark.slow
     def test_train_then_serve(self, setup, tmp_path):
         """The train CLI's checkpoint loads into the serving engine."""
         from vqa_tpu.main import main as train_main

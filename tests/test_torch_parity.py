@@ -365,6 +365,7 @@ class TestExportRoundTrip:
     """flax -> .pth-format state_dict -> flax must round-trip exactly, and the
     exported dict must load into the torch oracle with identical logits."""
 
+    @pytest.mark.slow
     def test_baseline_roundtrip_and_torch_load(self):
         from vqa_tpu.models.convert import baseline_from_torch, to_torch
 

@@ -51,6 +51,7 @@ BASE_ARGS = [
 
 
 class TestTrainDriver:
+    @pytest.mark.slow
     def test_train_smoke_and_artifacts(self, toy_data):
         expt = os.path.join(toy_data["root"], "expt")
         run_main(BASE_ARGS + [
@@ -68,6 +69,7 @@ class TestTrainDriver:
         log = open(os.path.join(log_dir, "train_log.txt")).read()
         assert "--mode train" in log and "Validation Accuracy" in log
 
+    @pytest.mark.slow
     def test_resume_restores_step(self, toy_data):
         expt = os.path.join(toy_data["root"], "expt2")
         args = BASE_ARGS + [
@@ -84,6 +86,7 @@ class TestTrainDriver:
         run_main(args + ["--num_epochs", "1", "--model_ckpt", "model_4.ckpt"])
         assert "model_8.ckpt" in os.listdir(log_dir)
 
+    @pytest.mark.slow
     def test_loss_decreases_on_learnable_toy(self, toy_data):
         """Question-only signal: loss should drop substantially in 30 steps."""
         from vqa_tpu.config import build_model
@@ -221,6 +224,7 @@ class TestTrainableVGG:
 
 
 class TestTestMode:
+    @pytest.mark.slow
     def test_cli_test_mode_with_vgg_trained_ckpt(self, toy_data):
         """test mode restores a checkpoint trained with --vgg_train true
         (different optimizer pytree than the inference default)."""
@@ -245,6 +249,7 @@ class TestTestMode:
         preds = open(out).read().strip().split("\n")
         assert len(preds) == 24  # 3 batches of 8
 
+    @pytest.mark.slow
     def test_latest_ckpt_and_partial_final_batch(self, toy_data, capsys):
         """--model_ckpt latest resolves the highest-step checkpoint, and a
         drop_last=False tail batch contributes exactly its real samples."""
@@ -361,11 +366,13 @@ class TestDeterminism:
             losses.append(float(m["loss"]))
         return losses
 
+    @pytest.mark.slow
     def test_same_seed_identical_losses(self, toy_data):
         a = self._run(toy_data, seed=11)
         b = self._run(toy_data, seed=11)
         assert a == b, f"non-deterministic training: {a} vs {b}"
 
+    @pytest.mark.slow
     def test_different_seed_differs(self, toy_data):
         a = self._run(toy_data, seed=11)
         c = self._run(toy_data, seed=12)

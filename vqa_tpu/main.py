@@ -478,6 +478,9 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
     """
     if not args.val_file:
         raise SystemExit("--mode test requires --val_file")
+    if args.cache_features:
+        print("NOTE: --cache_features is a training-loop feature; test mode "
+              "evaluates each image once and ignores it")
     # full-set evaluation: keep the final partial batch (one extra compile)
     dataset, loader = make_loader(args.val_file, args.val_img, shuffle=False,
                                   drop_last=False)
