@@ -200,8 +200,9 @@ def main():
     device_batch = {"image": img, "question": ques, "ques_len": lens, "label": labels}
     if mode == "cached":
         # frozen-tower feature-cache training (--cache_features): the image
-        # entry is the cached encoder output, the step skips the VGG
-        feat_shape = (196, 512) if model_name == "attention" else (4096,)
+        # entry is the cached conv-stack output; the step skips the conv
+        # tower (baseline/bert keep the FC head + its dropout in-step)
+        feat_shape = (196, 512) if model_name == "attention" else (7, 7, 512)
         device_batch["image"] = jax.random.normal(
             rng, (batch,) + feat_shape, jnp.bfloat16)
     device_batch = jax.device_put(device_batch)

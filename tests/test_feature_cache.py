@@ -91,6 +91,30 @@ class TestBuildAndReuse:
                           synthetic_images=True)
         assert len(os.listdir(tmp_path)) == 2
 
+    def test_distinct_datasets_get_distinct_dirs(self, tiny_samples, tmp_path):
+        """Train and val splits must never share (and clobber) a cache dir."""
+        root, samples = tiny_samples
+        val_lines = [f"other{i}.jpg\tis,the\tyes" for i in range(4)]
+        val = root / "val.txt"
+        val.write_text("\n".join(val_lines) + "\n")
+        val_samples = VQASamples(str(val), str(root),
+                                 {"<PAD>": 0, "<UNKNOWN>": 1, "is": 2, "the": 3},
+                                 {"UNKNOWN": 0, "yes": 1}, 6)
+        _, variables, encode = _encoder()
+        fp = variables_fingerprint(variables)
+        for s in (samples, val_samples):
+            build_or_open(str(tmp_path), s, encode, fingerprint=fp,
+                          image_size=32, dtype=jnp.float32, boundary="c",
+                          batch_size=4, host_size=32, num_workers=0,
+                          synthetic_images=True)
+        assert len(os.listdir(tmp_path)) == 2
+        # and both remain valid (reopening takes the reuse path)
+        c1 = build_or_open(str(tmp_path), samples, encode, fingerprint=fp,
+                           image_size=32, dtype=jnp.float32, boundary="c",
+                           batch_size=4, host_size=32, num_workers=0,
+                           synthetic_images=True)
+        assert set(c1.row_of) == set(samples.image_names)
+
     def test_bf16_roundtrip_exact(self, tiny_samples, tmp_path):
         root, samples = tiny_samples
         _, variables, encode = _encoder(dtype=jnp.bfloat16)
@@ -136,6 +160,9 @@ class TestModelParity:
         np.testing.assert_array_equal(np.asarray(direct), np.asarray(cached))
 
     def test_baseline_cached_logits_match_direct(self, tiny_samples):
+        """Baseline boundary = the conv-stack output: the FC head (and its
+        dropout) stays in-step, so train-mode losses match bit-for-bit too
+        (the dropout modules keep their paths => identical masks)."""
         from vqa_tpu.models import VQABaselineNet
         from vqa_tpu.models.vgg import VGG11Encoder
 
@@ -151,7 +178,7 @@ class TestModelParity:
         variables = model.init({"params": jax.random.PRNGKey(0)}, x, ques, lens)
         direct = model.apply(variables, x, ques, lens)
 
-        enc = VGG11Encoder(include_head=True)
+        enc = VGG11Encoder(include_head=False)  # the cache boundary
         sub = {"params": variables["params"]["image_encoder"]["vgg11_encoder"]}
         if "batch_stats" in variables:
             sub["batch_stats"] = \
@@ -160,6 +187,16 @@ class TestModelParity:
         cached = model.apply(variables, feats, ques, lens,
                              image_is_features=True)
         np.testing.assert_array_equal(np.asarray(direct), np.asarray(cached))
+
+        # train mode: dropout ACTIVE in the frozen head and the fusion MLP —
+        # identical rng + identical module paths => identical logits
+        rngs = {"dropout": jax.random.PRNGKey(7)}
+        t_direct = model.apply(variables, x, ques, lens, train=True, rngs=rngs)
+        t_cached = model.apply(variables, feats, ques, lens, train=True,
+                               rngs=rngs, image_is_features=True)
+        assert not np.array_equal(np.asarray(t_direct), np.asarray(direct))
+        np.testing.assert_array_equal(np.asarray(t_direct),
+                                      np.asarray(t_cached))
 
 
 class TestLoaderIntegration:

@@ -61,13 +61,6 @@ def main():
 
     # planar floor: skip the final transpose-back (not numerics-comparable
     # shape-wise; measures what a planar-consuming stage 2 would see)
-    def planar_raw(x, w, b):
-        out = cs._conv0_pallas.__wrapped__(x, w, b, variant="bdot_planar",
-                                           interpret=False)
-        return out
-
-    # __wrapped__ bypasses jit to rebuild without the trailing transpose:
-    # simpler — re-implement inline
     def planar_no_tb(x, w, b):
         # identical call path but keep planar output
         batch, h, _, c = x.shape

@@ -93,9 +93,17 @@ class FeatureCache:
         return tuple(self.meta["feature_shape"])
 
 
-def cache_key(fingerprint: str, image_size: int, dtype, boundary: str) -> str:
+def cache_key(fingerprint: str, image_size: int, dtype, boundary: str,
+              names_digest: str = "", pipeline_tag: str = "") -> str:
+    """Cache-directory key: everything that changes the stored values.
+
+    ``names_digest`` separates datasets (train/val must never share a dir);
+    ``pipeline_tag`` captures input-path knobs (host decode size, synthetic
+    fallback, decode backend) that alter the pixels fed to the encoder.
+    """
     h = hashlib.blake2b(digest_size=8)
-    h.update(f"{fingerprint}|{image_size}|{np.dtype(dtype)}|{boundary}".encode())
+    h.update(f"{fingerprint}|{image_size}|{np.dtype(dtype)}|{boundary}"
+             f"|{names_digest}|{pipeline_tag}".encode())
     return h.hexdigest()
 
 
@@ -113,8 +121,13 @@ def build_or_open(cache_root: str, samples, encode_fn, *, fingerprint: str,
 
     from .images import decode_batch
 
+    names_for_key = sorted(set(samples.image_names))
+    nh = hashlib.blake2b(digest_size=8)
+    nh.update("\n".join(names_for_key).encode())
+    pipeline_tag = f"h{host_size}|syn{int(synthetic_images)}|{decode_backend}"
     cache_dir = os.path.join(
-        cache_root, cache_key(fingerprint, image_size, dtype, boundary))
+        cache_root, cache_key(fingerprint, image_size, dtype, boundary,
+                              nh.hexdigest(), pipeline_tag))
     meta_path = os.path.join(cache_dir, _META)
     names = sorted(set(samples.image_names))
     if os.path.exists(meta_path):
@@ -131,7 +144,10 @@ def build_or_open(cache_root: str, samples, encode_fn, *, fingerprint: str,
     pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
     np_dtype = _dtype_to_np(dtype)
 
-    tmp_bin = os.path.join(cache_dir, _BIN + ".tmp")
+    # pid-unique tmp so concurrent builders (multi-host shared filesystems;
+    # the caller additionally gates builds to process 0 + a barrier) can
+    # never interleave writes into one file
+    tmp_bin = os.path.join(cache_dir, f"{_BIN}.tmp.{os.getpid()}")
     mm = None
     n = len(names)
     for start in range(0, n, batch_size):
@@ -158,7 +174,7 @@ def build_or_open(cache_root: str, samples, encode_fn, *, fingerprint: str,
 
     # atomic publish: bin first, then meta (meta's presence marks validity)
     os.replace(tmp_bin, os.path.join(cache_dir, _BIN))
-    tmp_meta = meta_path + ".tmp"
+    tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
     with open(tmp_meta, "w") as f:
         json.dump({"names": names, "feature_shape": feat_shape,
                    "dtype": np_dtype.name,

@@ -92,7 +92,9 @@ class DataLoader:
         self.decode_backend = decode_backend
         self.num_workers = num_workers
         self._epoch = 0
-        self._pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+        # feature mode gathers memmap rows — no decode pool needed
+        self._pool = ThreadPoolExecutor(num_workers) \
+            if num_workers > 0 and feature_cache is None else None
 
     def __len__(self) -> int:
         n = len(self.samples) // self.num_shards

@@ -222,16 +222,19 @@ def _make_feature_encoder(model_name, model, variables, preprocess):
         sub_params = variables["params"]["image_encoder"]
         sub_stats = variables.get("batch_stats", {}).get("image_encoder", {})
         boundary = "coattn_image_encoder"
-    else:  # baseline / bert share ImageBaselineEncoder's frozen VGG tower
+    else:  # baseline / bert share ImageBaselineEncoder's frozen VGG tower.
+        # Boundary = the conv-stack output [7, 7, 512], NOT the 4096-d head:
+        # the FC head contains Dropout(0.5) layers that must stay live
+        # in-step for cached training to equal uncached training exactly.
         from .models.vgg import VGG11Encoder
-        enc = VGG11Encoder(include_head=True, s2d_first=model.s2d_first,
+        enc = VGG11Encoder(include_head=False, s2d_first=model.s2d_first,
                            conv0_pallas=model.conv0_pallas,
                            remat=getattr(model, "remat", False),
                            dtype=model.dtype)
         sub_params = variables["params"]["image_encoder"]["vgg11_encoder"]
         sub_stats = (variables.get("batch_stats", {})
                      .get("image_encoder", {}).get("vgg11_encoder", {}))
-        boundary = "vgg11_encoder_head"
+        boundary = "vgg11_features"
     sub_vars = {"params": sub_params}
     if sub_stats:
         sub_vars["batch_stats"] = sub_stats
@@ -281,10 +284,12 @@ def main(argv=None):
     shard_index, num_shards = host_shard()
 
     def make_loader(data_file, img_dir, shuffle=True, drop_last=True,
-                    feature_cache=None, samples=None):
+                    feature_cache=None, samples=None, samples_only=False):
         if samples is None:
             samples = VQASamples(data_file, img_dir, vocab.word2idx,
                                  vocab.label2idx, vocab.max_seq_length)
+        if samples_only:
+            return samples, None
         loader = DataLoader(samples, args.batch_size, host_size=host_size,
                             shuffle=shuffle, drop_last=drop_last,
                             num_workers=args.num_workers, seed=args.seed,
@@ -306,13 +311,17 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
     writer = make_summary_writer(log_dir)
     log_file = setup_logs_file(vars(args), log_dir)
 
-    train_dataset, train_loader = make_loader(args.train_file, args.train_img)
+    # datasets first; loaders are built once, after the feature-cache
+    # decision (a cached loader skips the decode pool entirely)
+    train_dataset, _ = make_loader(args.train_file, args.train_img,
+                                   samples_only=True)
     print(f"Question Vocabulary Size: {vocab.size} \n\n")
     print(f"Train Data Size: {len(train_dataset)}")
 
     val_dataset = val_loader = None
     if args.val_file:
-        val_dataset, val_loader = make_loader(args.val_file, args.val_img)
+        val_dataset, _ = make_loader(args.val_file, args.val_img,
+                                     samples_only=True)
         print_and_log(
             f"Validation Data Size: {len(val_dataset)}\n"
             f"Validation Accuracy is computed using {args.val_size} samples. "
@@ -345,9 +354,10 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                       "\nResuming Training...", log_file)
 
     # Frozen-tower feature cache: build (or reuse) AFTER checkpoint load so
-    # the cache fingerprints the weights actually in use, then swap the
-    # loaders to feature mode (vqa_tpu.data.feature_cache)
+    # the cache fingerprints the weights actually in use, then create the
+    # loaders in feature mode (vqa_tpu.data.feature_cache)
     image_is_features = False
+    train_cache = val_cache = None
     if args.cache_features:
         if args.vgg_train:
             raise SystemExit("--cache_features requires a frozen VGG "
@@ -370,14 +380,27 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                 synthetic_images=args.synthetic_images,
                 log=lambda s: print_and_log(s, log_file))
 
-        _, train_loader = make_loader(args.train_file, args.train_img,
-                                      feature_cache=build_cache(train_dataset),
-                                      samples=train_dataset)
+        # multi-host: exactly one process builds (shared cache_root); the
+        # rest open after the barrier — build_or_open then takes the reuse
+        # path, never a concurrent write
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("vqa-feature-cache-built")
+        train_cache = build_cache(train_dataset)
         if val_dataset is not None:
-            _, val_loader = make_loader(args.val_file, args.val_img,
-                                        feature_cache=build_cache(val_dataset),
-                                        samples=val_dataset)
+            val_cache = build_cache(val_dataset)
+        if jax.process_count() > 1 and jax.process_index() == 0:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("vqa-feature-cache-built")
         image_is_features = True
+
+    _, train_loader = make_loader(args.train_file, args.train_img,
+                                  feature_cache=train_cache,
+                                  samples=train_dataset)
+    if val_dataset is not None:
+        _, val_loader = make_loader(args.val_file, args.val_img,
+                                    feature_cache=val_cache,
+                                    samples=val_dataset)
 
     tx = make_optimizer(args.learning_rate, state.params, args.vgg_train)
     bn_batch_stats = {"auto": None, "batch": True, "running": False}[args.bn_mode]

@@ -43,15 +43,17 @@ class ImageBaselineEncoder(nn.Module):
     @nn.compact
     def __call__(self, x_img, train: bool = False, use_running_stats: bool = True,
                  image_is_features: bool = False):
-        if image_is_features:
-            # x_img is the frozen VGG tower's cached 4096-d output (see
-            # vqa_tpu.data.feature_cache); resume at the trainable part
-            x = x_img.astype(self.dtype)
-        else:
-            x = VGG11Encoder(include_head=True, s2d_first=self.s2d_first,
-                             conv0_pallas=self.conv0_pallas,
-                             remat=self.remat, dtype=self.dtype,
-                             name="vgg11_encoder")(x_img, train, use_running_stats)
+        # image_is_features: x_img is the frozen conv stack's cached
+        # [B, 7, 7, 512] map (vqa_tpu.data.feature_cache). The boundary is
+        # the conv-stack output — NOT the 4096-d head output — so the head's
+        # Dropout(0.5) layers still run in-step with the same module paths
+        # (=> identical dropout masks) and cached training is bit-identical
+        # to uncached training.
+        x = VGG11Encoder(include_head=True, s2d_first=self.s2d_first,
+                         conv0_pallas=self.conv0_pallas,
+                         remat=self.remat, dtype=self.dtype,
+                         name="vgg11_encoder")(x_img, train, use_running_stats,
+                                               skip_features=image_is_features)
         if not self.vgg_trainable:
             # frozen backbone (reference model.py:57-59): also skip its
             # backward pass entirely — grads would be discarded anyway

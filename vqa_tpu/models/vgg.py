@@ -280,16 +280,25 @@ class VGG11Encoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, use_running_stats: bool = True):
-        features_cls = VGGFeatures
-        if self.remat:
-            # trainable-VGG configs: rematerialize the conv stack in backward
-            # instead of keeping every 448^2 activation live (HBM headroom
-            # for the reference's batch-160 config when --vgg_train true)
-            features_cls = nn.remat(VGGFeatures, static_argnums=(2,))
-        x = features_cls(dtype=self.dtype, s2d_first=self.s2d_first,
-                         conv0_pallas=self.conv0_pallas,
-                         name="features")(x, use_running_stats)
+    def __call__(self, x, train: bool = False, use_running_stats: bool = True,
+                 skip_features: bool = False):
+        """``skip_features``: ``x`` is already the conv-stack output (the
+        feature-cache boundary, vqa_tpu.data.feature_cache) — run only the
+        avgpool + FC head, so the head's Dropout stays live in-step and
+        cached training remains exactly equivalent to uncached training."""
+        if skip_features:
+            x = x.astype(self.dtype)
+        else:
+            features_cls = VGGFeatures
+            if self.remat:
+                # trainable-VGG configs: rematerialize the conv stack in
+                # backward instead of keeping every 448^2 activation live
+                # (HBM headroom for the reference's batch-160 config when
+                # --vgg_train true)
+                features_cls = nn.remat(VGGFeatures, static_argnums=(2,))
+            x = features_cls(dtype=self.dtype, s2d_first=self.s2d_first,
+                             conv0_pallas=self.conv0_pallas,
+                             name="features")(x, use_running_stats)
         if self.include_head:
             x = adaptive_avg_pool(x, (7, 7))
             x = VGGClassifierHead(dtype=self.dtype, name="classifier")(x, train)

@@ -162,7 +162,7 @@ def _kernel_wide(xp_ref, w_ref, b_ref, out_ref, *, r_blk, wo, wo_pad, out_ch):
     out_ref[0, :, :, :] = m.transpose(1, 2, 0)[:, :wo, :]
 
 
-def _pick_blocking(ho: int, wo: int) -> tuple[int, int] | None:
+def _pick_blocking(ho: int, wo: int, itemsize: int = 2) -> tuple[int, int] | None:
     """(segments, rows-per-block) for the row grid.
 
     Row-block starts must be multiples of 8 (Mosaic dynamic sublane-slice
@@ -172,7 +172,8 @@ def _pick_blocking(ho: int, wo: int) -> tuple[int, int] | None:
     r_blk = 16 if ho % 16 == 0 else (8 if ho % 8 == 0 else None)
     if r_blk is None:
         return None
-    row_bytes = max(wo, 8) * 128 * 2  # one out row: wo sublanes x padded-O lanes
+    # one out row: wo sublanes x padded-O lanes
+    row_bytes = max(wo, 8) * 128 * itemsize
     seg = r_blk
     for m in range(ho // r_blk, 0, -1):
         if ho % (m * r_blk) == 0 and m * r_blk * row_bytes <= 2 ** 21:
@@ -186,7 +187,7 @@ def _conv0_pallas(x, w, b, variant: str = "bdot", interpret: bool = False):
     batch, h, _, c = x.shape
     out_ch = w.shape[-1]
     ho, wo = h // 2, x.shape[2] // 2
-    n_seg, r_blk = _pick_blocking(ho, wo)
+    n_seg, r_blk = _pick_blocking(ho, wo, jnp.dtype(x.dtype).itemsize)
     wo_pad = -(-wo // 128) * 128
     if variant == "2d":
         # VMEM: M=R*Wo patches + f32 accumulator; one block per grid step
@@ -314,9 +315,10 @@ def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
     be folded into (w, b). Uses the fused Pallas kernel on TPU, the identical
     XLA expression elsewhere/on unsupported shapes. ``force`` ('pallas' |
     'xla') overrides for tests/benchmarks; off-TPU, forced pallas runs in
-    interpreter mode. ``variant``: '2d' (one large matmul per row block,
-    default; R-batched dots, NHWC epilogue) | 'bdot_planar' | '2d' | '2dw'
-    (kept for A/B - all measured slower, see BASELINE.md).
+    interpreter mode. ``variant``: 'bdot' (the default: R-batched dots,
+    NHWC epilogue) | '2d' (one large matmul per row block) | 'bdot_planar' |
+    'bdot_planar_raw' | '2dw' (kept for A/B — all measured slower, see
+    BASELINE.md).
     """
     b_, h, wd, c = x.shape
     supported = (w.shape[:2] == (3, 3) and h % 2 == 0 and wd % 2 == 0
