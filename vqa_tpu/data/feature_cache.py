@@ -19,16 +19,19 @@ encoder — extracts features once and trains the small head against them.
   and dtype, so a stale cache (different weights/resolution/precision) is
   rebuilt automatically, never silently reused.
 
-Feature boundaries (must be *frozen* subgraphs — the build refuses anything
-behind batch-stats BN or a trainable VGG):
+Feature boundaries (must be *frozen, deterministic* subgraphs — the build
+refuses anything behind batch-stats BN or a trainable VGG):
 
 - attention: ``ImageCoAttentionEncoder`` output ``[196, 512]``
   (reference model.py:205-218);
-- baseline / bert: the frozen ``VGG11Encoder`` 4096-d vector — the L2
-  normalize + trainable FC that follow (model.py:53-71) stay in the step.
+- baseline / bert: the conv-stack output ``[S/32, S/32, 512]`` (7x7 at the
+  default 224) — NOT the 4096-d head: the FC head contains Dropout(0.5)
+  layers that are live during training (reference ``model.train()``
+  semantics), so the head stays in the step, with unchanged module paths.
 
-Values are bit-identical to the uncached path: the cache stores the exact
-compute-dtype tensors the encoder produces, so logits match exactly.
+Values are bit-identical to the uncached path — including train-mode
+dropout masks, because every dropout module keeps its path and therefore
+its folded rng (asserted by tests/test_feature_cache.py).
 """
 
 from __future__ import annotations
@@ -121,15 +124,14 @@ def build_or_open(cache_root: str, samples, encode_fn, *, fingerprint: str,
 
     from .images import decode_batch
 
-    names_for_key = sorted(set(samples.image_names))
+    names = sorted(set(samples.image_names))
     nh = hashlib.blake2b(digest_size=8)
-    nh.update("\n".join(names_for_key).encode())
+    nh.update("\n".join(names).encode())
     pipeline_tag = f"h{host_size}|syn{int(synthetic_images)}|{decode_backend}"
     cache_dir = os.path.join(
         cache_root, cache_key(fingerprint, image_size, dtype, boundary,
                               nh.hexdigest(), pipeline_tag))
     meta_path = os.path.join(cache_dir, _META)
-    names = sorted(set(samples.image_names))
     if os.path.exists(meta_path):
         cache = FeatureCache(cache_dir)
         if cache.meta["fingerprint"] == fingerprint \
@@ -137,16 +139,29 @@ def build_or_open(cache_root: str, samples, encode_fn, *, fingerprint: str,
             log(f"feature cache: reusing {cache_dir} "
                 f"({len(names)} images, {cache.meta['dtype']})")
             return cache
-        log("feature cache: stale (weights or image set changed) — rebuilding")
+        # unreachable short of a digest collision or hand-edited files —
+        # treat as corruption and rebuild
+        log("feature cache: integrity mismatch at keyed dir — rebuilding")
 
     os.makedirs(cache_dir, exist_ok=True)
+    # GC tmp orphans from builds killed mid-way (multi-GB files otherwise
+    # accumulate forever). Age-gated so a *live* concurrent builder's tmp is
+    # never unlinked out from under its memmap (that would fail its final
+    # os.replace): anything older than a day is a corpse.
+    import glob
+    import time
+    for stale in glob.glob(os.path.join(cache_dir, "*.tmp.*")):
+        try:
+            if time.time() - os.path.getmtime(stale) > 86400:
+                os.remove(stale)
+        except OSError:
+            pass
     img_dir = samples.img_dir
     pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
     np_dtype = _dtype_to_np(dtype)
 
-    # pid-unique tmp so concurrent builders (multi-host shared filesystems;
-    # the caller additionally gates builds to process 0 + a barrier) can
-    # never interleave writes into one file
+    # pid-unique tmp so concurrent builders (e.g. multiple hosts on a shared
+    # filesystem) can never interleave writes into one file
     tmp_bin = os.path.join(cache_dir, f"{_BIN}.tmp.{os.getpid()}")
     mm = None
     n = len(names)

@@ -231,9 +231,15 @@ def _make_feature_encoder(model_name, model, variables, preprocess):
                            conv0_pallas=model.conv0_pallas,
                            remat=getattr(model, "remat", False),
                            dtype=model.dtype)
-        sub_params = variables["params"]["image_encoder"]["vgg11_encoder"]
-        sub_stats = (variables.get("batch_stats", {})
+        # narrow to the conv-stack subtree: include_head=False never touches
+        # the classifier FCs, and fingerprinting them would (a) hash ~400MB
+        # for nothing and (b) spuriously invalidate caches on head-only
+        # weight differences
+        vgg = variables["params"]["image_encoder"]["vgg11_encoder"]
+        sub_params = {"features": vgg["features"]}
+        vgg_stats = (variables.get("batch_stats", {})
                      .get("image_encoder", {}).get("vgg11_encoder", {}))
+        sub_stats = {"features": vgg_stats["features"]} if vgg_stats else {}
         boundary = "vgg11_features"
     sub_vars = {"params": sub_params}
     if sub_stats:
@@ -380,18 +386,19 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                 synthetic_images=args.synthetic_images,
                 log=lambda s: print_and_log(s, log_file))
 
-        # multi-host: exactly one process builds (shared cache_root); the
-        # rest open after the barrier — build_or_open then takes the reuse
-        # path, never a concurrent write
-        if jax.process_count() > 1 and jax.process_index() != 0:
-            from jax.experimental import multihost_utils
-            multihost_utils.sync_global_devices("vqa-feature-cache-built")
+        # Multi-host note: concurrent builds are SAFE (pid-unique tmp files +
+        # atomic publish; the content is deterministic given the weights) but
+        # redundant — on a shared cache_root only the last writer's identical
+        # bytes survive, on per-host disks every host builds its own copy.
+        # No cross-process barrier here by design: a collective that parks
+        # N-1 processes for an hours-long build invites distributed-runtime
+        # timeouts and deadlocks if the builder dies (the tunnel-OOM hazard).
+        # For large multi-host runs, pre-build once with a single-process
+        # invocation against the shared --cache_dir; later runs take the
+        # reuse path.
         train_cache = build_cache(train_dataset)
         if val_dataset is not None:
             val_cache = build_cache(val_dataset)
-        if jax.process_count() > 1 and jax.process_index() == 0:
-            from jax.experimental import multihost_utils
-            multihost_utils.sync_global_devices("vqa-feature-cache-built")
         image_is_features = True
 
     _, train_loader = make_loader(args.train_file, args.train_img,

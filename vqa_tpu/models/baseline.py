@@ -44,11 +44,11 @@ class ImageBaselineEncoder(nn.Module):
     def __call__(self, x_img, train: bool = False, use_running_stats: bool = True,
                  image_is_features: bool = False):
         # image_is_features: x_img is the frozen conv stack's cached
-        # [B, 7, 7, 512] map (vqa_tpu.data.feature_cache). The boundary is
-        # the conv-stack output — NOT the 4096-d head output — so the head's
-        # Dropout(0.5) layers still run in-step with the same module paths
-        # (=> identical dropout masks) and cached training is bit-identical
-        # to uncached training.
+        # [B, S/32, S/32, 512] map (7x7 at the default 224 input;
+        # vqa_tpu.data.feature_cache). The boundary is the conv-stack output
+        # — NOT the 4096-d head output — so the head's Dropout(0.5) layers
+        # still run in-step with the same module paths (=> identical dropout
+        # masks) and cached training is bit-identical to uncached training.
         x = VGG11Encoder(include_head=True, s2d_first=self.s2d_first,
                          conv0_pallas=self.conv0_pallas,
                          remat=self.remat, dtype=self.dtype,
