@@ -41,7 +41,9 @@ def worker_losses(tmp_path_factory):
          str(out / f"loss{pid}.txt")],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for pid in range(2)]
-    outs = [p.communicate(timeout=600) for p in procs]
+    # generous: two workers compile on one core, possibly while other
+    # processes contend for it
+    outs = [p.communicate(timeout=1200) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{so}\n{se}"
     return [np.array([float(v) for v in
