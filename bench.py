@@ -201,8 +201,11 @@ def main():
     if mode == "cached":
         # frozen-tower feature-cache training (--cache_features): the image
         # entry is the cached conv-stack output; the step skips the conv
-        # tower (baseline/bert keep the FC head + its dropout in-step)
-        feat_shape = (196, 512) if model_name == "attention" else (7, 7, 512)
+        # tower (baseline/bert keep the FC head + its dropout in-step).
+        # Shapes derive from the boundary: conv stack downsamples 32x
+        # (vqa_tpu/data/feature_cache.py), attention flattens to [S^2/1024, D]
+        g = image_size // 32
+        feat_shape = (g * g, 512) if model_name == "attention" else (g, g, 512)
         device_batch["image"] = jax.random.normal(
             rng, (batch,) + feat_shape, jnp.bfloat16)
     device_batch = jax.device_put(device_batch)

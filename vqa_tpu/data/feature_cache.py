@@ -47,11 +47,6 @@ _META = "meta.json"
 _BIN = "features.bin"
 
 
-def _dtype_to_np(dtype) -> np.dtype:
-    """jnp dtype -> numpy dtype usable by np.memmap (incl. ml_dtypes bf16)."""
-    return np.dtype(dtype)
-
-
 def variables_fingerprint(variables) -> str:
     """Stable digest of a variable pytree (params + stats), order-insensitive.
 
@@ -89,7 +84,7 @@ class FeatureCache:
         """Gather feature rows for a batch of image names."""
         idx = np.fromiter((self.row_of[n] for n in names), np.int64,
                           count=len(names))
-        return np.asarray(self.features[idx])
+        return self.features[idx]  # fancy-index: already a fresh ndarray
 
     @property
     def feature_shape(self) -> tuple:
@@ -97,7 +92,7 @@ class FeatureCache:
 
 
 def cache_key(fingerprint: str, image_size: int, dtype, boundary: str,
-              names_digest: str = "", pipeline_tag: str = "") -> str:
+              names_digest: str, pipeline_tag: str) -> str:
     """Cache-directory key: everything that changes the stored values.
 
     ``names_digest`` separates datasets (train/val must never share a dir);
@@ -158,7 +153,7 @@ def build_or_open(cache_root: str, samples, encode_fn, *, fingerprint: str,
             pass
     img_dir = samples.img_dir
     pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
-    np_dtype = _dtype_to_np(dtype)
+    np_dtype = np.dtype(dtype)  # handles ml_dtypes bf16 for np.memmap
 
     # pid-unique tmp so concurrent builders (e.g. multiple hosts on a shared
     # filesystem) can never interleave writes into one file
@@ -174,7 +169,7 @@ def build_or_open(cache_root: str, samples, encode_fn, *, fingerprint: str,
                               synthetic_fallback=synthetic_images,
                               backend=decode_backend,
                               native_threads=max(num_workers, 1))
-        feats = np.asarray(encode_fn(images)).astype(np_dtype)
+        feats = np.asarray(encode_fn(images)).astype(np_dtype, copy=False)
         if mm is None:
             mm = np.memmap(tmp_bin, dtype=np_dtype, mode="w+",
                            shape=tuple([n] + list(feats.shape[1:])))

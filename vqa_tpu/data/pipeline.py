@@ -116,7 +116,8 @@ class DataLoader:
 
     def _make_batch(self, idx: np.ndarray) -> dict:
         if self.feature_cache is not None:
-            images = np.asarray(self.feature_cache.features[self._feature_rows[idx]])
+            # memmap fancy-index materializes a fresh in-memory ndarray
+            images = self.feature_cache.features[self._feature_rows[idx]]
         else:
             paths = [self.samples.image_path(i) for i in idx]
             images = decode_batch(paths, self.host_size, pool=self._pool,
