@@ -67,6 +67,36 @@ class TestServeCLI:
         assert set(rec) >= {"image", "question", "answer", "prob", "topk"}
 
 
+class TestAttentionPredictor:
+    def test_attention_ckpt_head_inference_and_predict(self, setup, tmp_path):
+        """Serving the attention model: head size inferred from mlp_classify
+        (serve.py:_infer_num_classes), co-attention path compiles + predicts."""
+        import jax
+        import jax.numpy as jnp
+
+        from vqa_tpu.config import build_model
+        from vqa_tpu.train.checkpoint import save_checkpoint
+        from vqa_tpu.train.state import create_train_state
+
+        vocab = Vocab.load(setup["vocab"])
+        model, _ = build_model("attention", vocab.size, vocab.num_labels,
+                               opt_lvl=0)
+        init = {"image": jnp.zeros((1, 32, 32, 3)),
+                "question": jnp.zeros((1, vocab.max_seq_length), jnp.int32),
+                "ques_len": jnp.ones((1,), jnp.int32)}
+        state = create_train_state(model, jax.random.PRNGKey(0), init, 1e-3)
+        ckpt = save_checkpoint(state, str(tmp_path), 1)
+
+        predictor = VQAPredictor("attention", vocab, ckpt, batch_size=2,
+                                 synthetic_images=True, image_size=32,
+                                 opt_lvl=0)
+        assert predictor.num_classes == vocab.num_labels
+        r = predictor.predict([os.path.join(setup["root"], "a.jpg")],
+                              ["is,the,cat,black"])[0]
+        assert r["answer"] in vocab.label2idx
+        assert 0.0 <= r["prob"] <= 1.0
+
+
 class TestServeFromTrainedCheckpoint:
     @pytest.mark.slow
     def test_train_then_serve(self, setup, tmp_path):
