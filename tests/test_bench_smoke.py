@@ -1,0 +1,52 @@
+"""bench.py smoke tests: the driver's end-of-round benchmark must not crash.
+
+Runs the harness in-process on CPU with tiny shapes and validates the JSON
+contract ({metric, value, unit, vs_baseline}). The timing numbers are
+meaningless on CPU — only the code path and output schema are under test.
+"""
+
+import importlib
+import json
+import os
+import sys
+
+import pytest
+
+
+def _run_bench(monkeypatch, capsys, **env):
+    for k, v in env.items():
+        monkeypatch.setenv(k, str(v))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    try:
+        import bench
+        importlib.reload(bench)  # re-read env-dependent globals
+        bench.main()
+    finally:
+        sys.path.pop(0)
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines()
+             if ln.startswith("{")]
+    assert lines, "bench printed no JSON line"
+    rec = json.loads(lines[-1])
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert rec["value"] > 0
+    return rec
+
+
+def test_cached_mode_smoke(monkeypatch, capsys):
+    rec = _run_bench(monkeypatch, capsys, BENCH_MODE="cached",
+                     BENCH_MODEL="baseline", BENCH_BATCH="2", BENCH_STEPS="2")
+    assert rec["metric"].startswith("cached_qa_pairs_per_sec_baseline")
+
+
+@pytest.mark.slow
+def test_train_mode_smoke(monkeypatch, capsys):
+    rec = _run_bench(monkeypatch, capsys, BENCH_MODE="train",
+                     BENCH_MODEL="baseline", BENCH_BATCH="2", BENCH_STEPS="2")
+    assert rec["metric"].startswith("train_qa_pairs_per_sec_baseline")
+
+
+@pytest.mark.slow
+def test_eval_mode_smoke(monkeypatch, capsys):
+    rec = _run_bench(monkeypatch, capsys, BENCH_MODE="eval",
+                     BENCH_MODEL="baseline", BENCH_BATCH="2", BENCH_STEPS="2")
+    assert rec["metric"].startswith("eval_qa_pairs_per_sec_baseline")

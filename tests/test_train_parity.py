@@ -66,7 +66,7 @@ def _torch_losses(model, fwd, batches):
         opt.zero_grad()
         loss.backward()
         opt.step()
-        losses.append(float(loss))
+        losses.append(float(loss.detach()))
     return losses
 
 

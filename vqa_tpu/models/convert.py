@@ -349,6 +349,8 @@ def save_pth(path: str, model_name: str, params, batch_stats) -> None:
     import torch
 
     sd = to_torch(model_name, params, batch_stats)
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(
-        np.asarray(v, dtype=np.float32) if np.asarray(v).dtype != np.int64
-        else np.asarray(v))) for k, v in sd.items()}, path)
+    # np.array (not asarray): owned writable buffers — torch.from_numpy on a
+    # read-only JAX export view warns about undefined mutation behavior
+    torch.save({k: torch.from_numpy(np.array(
+        v, dtype=None if np.asarray(v).dtype == np.int64 else np.float32))
+        for k, v in sd.items()}, path)
