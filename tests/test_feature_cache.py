@@ -244,6 +244,33 @@ class TestCLI:
         cache_root = run_dir / "feature_cache"
         assert cache_root.exists() and len(list(cache_root.iterdir())) == 1
 
+    def test_cached_training_on_mesh(self, tmp_path):
+        """--cache_features composes with --num_devices: feature batches
+        shard over the data mesh exactly like pixel batches."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs simulated multi-device CPU backend")
+        from vqa_tpu.main import main
+        from vqa_tpu.vocab import save_vocab
+
+        lines = [f"img{i % 4}.jpg\tis,the,cat\t{'yes' if i % 2 else 'no'}"
+                 for i in range(16)]
+        data = tmp_path / "d.txt"
+        data.write_text("\n".join(lines) + "\n")
+        vocab = tmp_path / "v.pkl"
+        save_vocab(str(data), str(vocab), 1, 2)
+        main(["--mode", "train", "--model", "baseline",
+              "--expt_dir", str(tmp_path / "e"), "--expt_name", "x",
+              "--run_name", "y", "--train_img", str(tmp_path),
+              "--train_file", str(data), "--vocab_file", str(vocab),
+              "--batch_size", "4", "--num_epochs", "1", "--num_cls", "2",
+              "--log_interval", "100", "--save_interval", "100",
+              "--image_size", "32", "--opt_lvl", "0",
+              "--synthetic_images", "true", "--cache_features", "true",
+              "--num_devices", "2"])
+        assert (tmp_path / "e" / "x" / "y" / "train_log.txt").exists()
+
     def test_cache_features_rejects_vgg_train(self, tmp_path):
         from vqa_tpu.main import main
         from vqa_tpu.vocab import save_vocab
