@@ -27,6 +27,7 @@ methodology). Override via env:
     (vs_baseline = native/PIL speedup).
 - ``BENCH_PALLAS`` ('1' routes co-attention through the fused Pallas kernel)
 - ``BENCH_CONV0`` ('0' disables the fused Pallas stage-1 VGG conv)
+- ``BENCH_INT8`` ('1' enables the int8-PTQ frozen backbone, --int8_backbone)
 - ``BENCH_WORKERS`` (pipeline/decode host decode threads, default 4)
 - ``BENCH_BASELINE_QPS`` (default 400.0)
 """
@@ -187,7 +188,8 @@ def main():
     from vqa_tpu.train.steps import make_train_step
 
     model, _ = build_model(model_name, vocab_size, num_classes, opt_lvl=1,
-                           use_pallas=use_pallas, conv0_pallas=conv0_pallas)
+                           use_pallas=use_pallas, conv0_pallas=conv0_pallas,
+                           int8_backbone=os.environ.get("BENCH_INT8") == "1")
 
     rng = jax.random.PRNGKey(0)
     img = jax.random.normal(rng, (batch, image_size, image_size, 3), jnp.float32)
@@ -241,9 +243,10 @@ def main():
         dt = time.perf_counter() - t0
 
     qps = batch * steps / dt
+    int8 = os.environ.get("BENCH_INT8") == "1"
     print(json.dumps({
         "metric": f"{mode}_qa_pairs_per_sec_{model_name}_b{batch}"
-                  f"{'_pallas' if use_pallas else ''}",
+                  f"{'_pallas' if use_pallas else ''}{'_int8' if int8 else ''}",
         "value": round(qps, 2),
         "unit": "qa_pairs_per_sec",
         "vs_baseline": round(qps / REFERENCE_BASELINE_QPS, 3),

@@ -1,0 +1,77 @@
+"""int8 PTQ backbone (--int8_backbone): numerics, wiring, and guards.
+
+The quantized stages (per-output-channel weight scales, dynamic per-batch
+activation scale, int32 accumulation — vqa_tpu/models/vgg.py) approximate
+the bf16/fp32 path; these tests bound the approximation on the conv-stack
+output and check the flag plumbing. Throughput claims live in BASELINE.md
+(tools/exp_int8_chain.py — CPU timings are meaningless here).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.config import build_model
+from vqa_tpu.models.vgg import VGG11Encoder
+
+
+def _features(int8_stages, x, seed=0):
+    enc = VGG11Encoder(include_head=False, int8_stages=int8_stages)
+    variables = enc.init({"params": jax.random.PRNGKey(seed)}, x)
+    # non-trivial BN stats so the fold actually exercises scales
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    return enc.apply(variables, x, False, True), variables, enc
+
+
+class TestNumerics:
+    def test_quantized_features_close_to_fp32(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+        ref, variables, enc = _features((), x)
+        q_enc = VGG11Encoder(include_head=False, int8_stages=(2, 3, 4, 5, 6))
+        quant = q_enc.apply(variables, x, False, True)
+        ref, quant = np.asarray(ref, np.float32), np.asarray(quant, np.float32)
+        # relative error of the feature map, guarded against near-zero scale
+        denom = max(np.abs(ref).max(), 1e-6)
+        rel = np.abs(ref - quant).max() / denom
+        assert rel < 0.05, f"int8 backbone features drifted: rel={rel:.4f}"
+        # correlation stays essentially 1: the representation is preserved
+        c = np.corrcoef(ref.ravel(), quant.ravel())[0, 1]
+        assert c > 0.999, c
+
+    def test_int8_only_in_running_stats_mode(self):
+        """batch-stats mode (trainable/bn quirk) ignores int8_stages."""
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        enc = VGG11Encoder(include_head=False, int8_stages=(2, 3))
+        variables = enc.init({"params": jax.random.PRNGKey(0)}, x)
+        ref = VGG11Encoder(include_head=False).apply(
+            variables, x, False, False, mutable=["batch_stats"])[0]
+        got = enc.apply(variables, x, False, False, mutable=["batch_stats"])[0]
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+class TestWiring:
+    def test_build_model_flag(self):
+        model, _ = build_model("attention", 30, 4, int8_backbone=True)
+        assert model.int8_stages == (2, 3, 4, 5, 6)
+        model, _ = build_model("baseline", 30, 4)
+        assert model.int8_stages == ()
+
+    def test_rejects_trainable_vgg(self):
+        with pytest.raises(ValueError, match="frozen"):
+            build_model("baseline", 30, 4, vgg_trainable=True,
+                        int8_backbone=True)
+
+    def test_full_model_jit(self):
+        model, _ = build_model("baseline", 30, 4, int8_backbone=True,
+                               opt_lvl=0)
+        rng = jax.random.PRNGKey(0)
+        img = jax.random.normal(rng, (2, 32, 32, 3))
+        ques = jax.random.randint(rng, (2, 5), 1, 30)
+        lens = jnp.full((2,), 5, jnp.int32)
+        variables = model.init({"params": rng}, img, ques, lens)
+        logits = jax.jit(lambda v, a, q, l: model.apply(v, a, q, l))(
+            variables, img, ques, lens)
+        assert logits.shape == (2, 4)
+        assert np.isfinite(np.asarray(logits, np.float32)).all()

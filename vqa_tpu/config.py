@@ -64,6 +64,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                 vgg_trainable: bool = False, opt_lvl: int = 1,
                 use_pallas: bool = False, s2d_first: bool = False,
                 conv0_pallas: bool | None = None,
+                int8_backbone: bool = False,
                 max_seq_length: int | None = None):
     """Instantiate a model by registry name (reference main.py:162-165).
 
@@ -84,11 +85,19 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
     if conv0_pallas is None:
         conv0_pallas = not vgg_trainable
     conv0_pallas = conv0_pallas and not s2d_first and not vgg_trainable
+    # int8 PTQ of the frozen conv stack: the measured-win stage set on v5e
+    # (conv1 loses at 64ch, conv7 is a wash — tools/exp_int8_chain.py).
+    # Frozen-only: quantized stages have no meaningful gradient
+    if int8_backbone and vgg_trainable:
+        raise ValueError("--int8_backbone requires a frozen VGG "
+                         "(--vgg_train false)")
+    int8_stages = (2, 3, 4, 5, 6) if int8_backbone else ()
     if model_name == "baseline":
         from .models import VQABaselineNet
         return VQABaselineNet(vocab_size=vocab_size, K=num_classes,
                               vgg_trainable=vgg_trainable, s2d_first=s2d_first,
                               conv0_pallas=conv0_pallas,
+                              int8_stages=int8_stages,
                               remat=remat, dtype=dtype,
                               **cfg.question_params), cfg
     if model_name == "attention":
@@ -96,7 +105,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
         return HierarchicalCoAttentionNet(
             vocab_size=vocab_size, K=num_classes, mlp_dim=cfg.mlp_dim,
             vgg_trainable=vgg_trainable, s2d_first=s2d_first, remat=remat,
-            conv0_pallas=conv0_pallas,
+            conv0_pallas=conv0_pallas, int8_stages=int8_stages,
             use_pallas=use_pallas, dtype=dtype,
             **cfg.question_params), cfg
     if model_name == "bert":
@@ -104,6 +113,6 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
         max_len = max(64, max_seq_length or 0)
         return VQABertNet(vocab_size=vocab_size, K=num_classes, max_len=max_len,
                           vgg_trainable=vgg_trainable, conv0_pallas=conv0_pallas,
-                          dtype=dtype,
+                          int8_stages=int8_stages, dtype=dtype,
                           **cfg.question_params), cfg
     raise KeyError(model_name)

@@ -132,6 +132,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "image into a disk cache and train the head "
                              "against cached features (requires a frozen VGG "
                              "in running-stats BN mode)")
+    parser.add_argument("--int8_backbone", type=str2bool, default="false",
+                        help="int8 post-training quantization of the frozen "
+                             "VGG conv stack (per-channel weight scales, "
+                             "dynamic activation scales; 1.4-1.6x on the "
+                             "large stages — see BASELINE.md for measured "
+                             "throughput and accuracy)")
     parser.add_argument("--cache_dir", type=str, default="",
                         help="feature-cache root (default: <run log dir>/"
                              "feature_cache); caches are keyed by weights "
@@ -275,6 +281,7 @@ def main(argv=None):
     model, cfg = build_model(args.model, vocab.size, num_classes,
                              vgg_trainable=args.vgg_train, opt_lvl=args.opt_lvl,
                              use_pallas=args.use_pallas,
+                             int8_backbone=args.int8_backbone,
                              max_seq_length=vocab.max_seq_length)
     image_size = args.image_size or cfg.image_size
     host_size = args.host_size or image_size

@@ -37,6 +37,7 @@ class ImageBaselineEncoder(nn.Module):
     vgg_trainable: bool = False
     s2d_first: bool = False
     conv0_pallas: bool = False
+    int8_stages: tuple = ()
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -51,6 +52,7 @@ class ImageBaselineEncoder(nn.Module):
         # masks) and cached training is bit-identical to uncached training.
         x = VGG11Encoder(include_head=True, s2d_first=self.s2d_first,
                          conv0_pallas=self.conv0_pallas,
+                         int8_stages=self.int8_stages,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats,
                                                skip_features=image_is_features)
@@ -94,6 +96,7 @@ class VQABaselineNet(nn.Module):
     vgg_trainable: bool = False
     s2d_first: bool = False
     conv0_pallas: bool = False
+    int8_stages: tuple = ()
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -103,6 +106,7 @@ class VQABaselineNet(nn.Module):
         img_emb = ImageBaselineEncoder(vgg_trainable=self.vgg_trainable,
                                        s2d_first=self.s2d_first,
                                        conv0_pallas=self.conv0_pallas,
+                                       int8_stages=self.int8_stages,
                                        remat=self.remat,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats, image_is_features)

@@ -105,6 +105,7 @@ class VQABertNet(nn.Module):
     vgg_trainable: bool = False
     s2d_first: bool = False
     conv0_pallas: bool = False
+    int8_stages: tuple = ()
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -113,6 +114,7 @@ class VQABertNet(nn.Module):
         img_emb = ImageBaselineEncoder(vgg_trainable=self.vgg_trainable,
                                        s2d_first=self.s2d_first,
                                        conv0_pallas=self.conv0_pallas,
+                                       int8_stages=self.int8_stages,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats, image_is_features)
         ques_emb = BertQuestionEncoder(

@@ -45,6 +45,7 @@ class ImageCoAttentionEncoder(nn.Module):
     vgg_trainable: bool = False
     s2d_first: bool = False
     conv0_pallas: bool = False
+    int8_stages: tuple = ()
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -52,6 +53,7 @@ class ImageCoAttentionEncoder(nn.Module):
     def __call__(self, x_img, train: bool = False, use_running_stats: bool = True):
         x = VGG11Encoder(include_head=False, s2d_first=self.s2d_first,
                          conv0_pallas=self.conv0_pallas,
+                         int8_stages=self.int8_stages,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
         if not self.vgg_trainable:
@@ -219,6 +221,7 @@ class HierarchicalCoAttentionNet(nn.Module):
     vgg_trainable: bool = False
     s2d_first: bool = False
     conv0_pallas: bool = False
+    int8_stages: tuple = ()
     remat: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
@@ -238,6 +241,7 @@ class HierarchicalCoAttentionNet(nn.Module):
             x_img_features = ImageCoAttentionEncoder(
                 vgg_trainable=self.vgg_trainable, s2d_first=self.s2d_first,
                 conv0_pallas=self.conv0_pallas,
+                int8_stages=self.int8_stages,
                 remat=self.remat, dtype=self.dtype,
                 name="image_encoder")(x_img, train, use_running_stats)
 

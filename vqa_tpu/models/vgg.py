@@ -162,6 +162,11 @@ class VGGFeatures(nn.Module):
     dtype: Dtype = jnp.float32
     s2d_first: bool = False
     conv0_pallas: bool = False
+    # conv indices to run as int8 PTQ stages (running-stats/frozen mode only;
+    # see the branch below). () = full bf16/fp32. The measured-win set on
+    # v5e is (2, 3, 4, 5, 6) — conv1 loses (layout overhead at 64ch) and
+    # conv7 is a wash (tools/exp_int8_chain.py, BASELINE.md).
+    int8_stages: tuple = ()
 
     @nn.compact
     def __call__(self, x, use_running_stats: bool = True):
@@ -204,6 +209,29 @@ class VGGFeatures(nn.Module):
                     y = y.reshape(b_, h_, w_, 4, v) + b_f
                     x = jnp.max(nn.relu(y), axis=3)           # phase max == pool
                     idx += 2
+                elif conv_idx in self.int8_stages:
+                    # int8 PTQ stage (tools/exp_int8_chain.py: 1.4-1.6x over
+                    # bf16 at >=128 channels through XLA, chain cost incl.):
+                    # per-output-channel symmetric weight scales from the
+                    # BN-folded fp32 weights; dynamic per-batch activation
+                    # scale; int32 accumulate -> fp32 dequant + bias + ReLU
+                    w32 = kernel * s                          # fp32 [3,3,ci,co]
+                    s_w = jnp.maximum(
+                        jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
+                    w_q = jnp.clip(jnp.round(w32 / s_w), -127, 127) \
+                        .astype(jnp.int8)
+                    s_x = jnp.maximum(
+                        jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+                    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                                   -127, 127).astype(jnp.int8)
+                    acc = jax.lax.conv_general_dilated(
+                        x_q, w_q, (1, 1), [(1, 1), (1, 1)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.int32)
+                    b32 = (bias - ra_mean.value) * s + bn_bias  # fp32
+                    y = acc.astype(jnp.float32) * (s_x * s_w) + b32
+                    x = nn.relu(y).astype(self.dtype)
+                    idx += 1
                 else:
                     x = nn.relu(conv(x, w_f) + b_f)
                     idx += 1
@@ -276,6 +304,7 @@ class VGG11Encoder(nn.Module):
     include_head: bool = True
     s2d_first: bool = False
     conv0_pallas: bool = False
+    int8_stages: tuple = ()
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -298,6 +327,7 @@ class VGG11Encoder(nn.Module):
                 features_cls = nn.remat(VGGFeatures, static_argnums=(2,))
             x = features_cls(dtype=self.dtype, s2d_first=self.s2d_first,
                              conv0_pallas=self.conv0_pallas,
+                             int8_stages=self.int8_stages,
                              name="features")(x, use_running_stats)
         if self.include_head:
             x = adaptive_avg_pool(x, (7, 7))
