@@ -40,6 +40,21 @@ class TestNumerics:
         c = np.corrcoef(ref.ravel(), quant.ravel())[0, 1]
         assert c > 0.999, c
 
+    def test_int8_conv0_kernel_close_to_xla(self):
+        """The fused int8 stage-1 kernel (interpret mode) vs the fp32 oracle."""
+        from vqa_tpu.ops.conv_stage1 import _conv0_pallas_i8, _xla_reference
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (2, 64, 64, 3))
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 64)) * 0.2
+        b = jax.random.normal(jax.random.PRNGKey(2), (64,)) * 0.1
+        ref = np.asarray(_xla_reference(x, w, b), np.float32)
+        got = np.asarray(_conv0_pallas_i8(x, w, b, interpret=True), np.float32)
+        rel = np.abs(ref - got).max() / max(np.abs(ref).max(), 1e-6)
+        assert rel < 0.03, rel
+        c = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+        assert c > 0.999, c
+
     def test_int8_only_in_running_stats_mode(self):
         """batch-stats mode (trainable/bn quirk) ignores int8_stages."""
         x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
@@ -54,6 +69,10 @@ class TestNumerics:
 class TestWiring:
     def test_build_model_flag(self):
         model, _ = build_model("attention", 30, 4, int8_backbone=True)
+        # conv0 included via the fused Pallas int8 kernel (default-on)
+        assert model.int8_stages == (0, 2, 3, 4, 5, 6)
+        model, _ = build_model("attention", 30, 4, int8_backbone=True,
+                               conv0_pallas=False)
         assert model.int8_stages == (2, 3, 4, 5, 6)
         model, _ = build_model("baseline", 30, 4)
         assert model.int8_stages == ()

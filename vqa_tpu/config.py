@@ -86,12 +86,15 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
         conv0_pallas = not vgg_trainable
     conv0_pallas = conv0_pallas and not s2d_first and not vgg_trainable
     # int8 PTQ of the frozen conv stack: the measured-win stage set on v5e
-    # (conv1 loses at 64ch, conv7 is a wash — tools/exp_int8_chain.py).
-    # Frozen-only: quantized stages have no meaningful gradient
+    # (conv1 loses at 64ch through XLA, conv7 is a wash —
+    # tools/exp_int8_chain.py). Stage 0 is int8 only through the fused
+    # Pallas kernel (the XLA emitter's C_in=3 layout penalty applies to
+    # int8 too). Frozen-only: quantized stages have no meaningful gradient
     if int8_backbone and vgg_trainable:
         raise ValueError("--int8_backbone requires a frozen VGG "
                          "(--vgg_train false)")
-    int8_stages = (2, 3, 4, 5, 6) if int8_backbone else ()
+    int8_stages = () if not int8_backbone else (
+        (0, 2, 3, 4, 5, 6) if conv0_pallas else (2, 3, 4, 5, 6))
     if model_name == "baseline":
         from .models import VQABaselineNet
         return VQABaselineNet(vocab_size=vocab_size, K=num_classes,

@@ -200,7 +200,8 @@ class VGGFeatures(nn.Module):
                 if first_stage_2x2 and self.conv0_pallas:
                     from ..ops.conv_stage1 import conv0_bn_relu_pool
                     x = conv0_bn_relu_pool(x, jax.lax.stop_gradient(w_f),
-                                           jax.lax.stop_gradient(b_f))
+                                           jax.lax.stop_gradient(b_f),
+                                           int8=0 in self.int8_stages)
                     idx += 2                                  # conv + its 'M'
                 elif first_stage_2x2 and self.s2d_first:
                     w4 = _space_to_depth_kernel(w_f)          # [3,3,4C,4*64]

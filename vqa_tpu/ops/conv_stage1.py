@@ -106,6 +106,37 @@ def _kernel(xp_ref, w_ref, b_ref, out_ref, *, seg, r_blk, wo, out_ch, nhwc_out):
                 m.transpose(1, 0, 2).astype(out_ref.dtype)
 
 
+def _kernel_i8(xp_ref, w_ref, scale_ref, b_ref, out_ref, *, seg, r_blk, wo,
+               out_ch):
+    """int8 variant of ``_kernel`` (NHWC store): int8 patches x int8 weights
+    -> int32 accumulate -> phase max -> fp32 dequant (per-out-channel scale,
+    activation scale pre-folded by the caller) + bias + ReLU.
+
+    The 4 phase groups of an output channel hold identical weight value sets
+    (the s2d rewrite only re-arranges them), so one per-channel scale is
+    shared across phases and dequant legally happens AFTER the phase max.
+    Data movement halves vs bf16 (int8 planes/patches); the dot runs at the
+    MXU's 2x int8 rate.
+    """
+    for blk in range(seg // r_blk):
+        start = pl.program_id(1) * seg + blk * r_blk
+        xslab = xp_ref[0, :, pl.ds(start, r_blk + 2), :]  # [4C, R+2, Wo+2] i8
+        views = [xslab[:, a:a + r_blk, bb:bb + wo]
+                 for a in range(3) for bb in range(3)]
+        p = jnp.concatenate(views, axis=0).transpose(1, 0, 2)  # [R, 108, Wo]
+        w_b = jnp.broadcast_to(w_ref[:][None], (r_blk,) + w_ref.shape)
+        acc = jax.lax.dot_general(
+            w_b, p, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)             # [R, 4O, Wo] i32
+        m = jnp.maximum(
+            jnp.maximum(acc[:, 0 * out_ch:1 * out_ch], acc[:, 1 * out_ch:2 * out_ch]),
+            jnp.maximum(acc[:, 2 * out_ch:3 * out_ch], acc[:, 3 * out_ch:4 * out_ch]))
+        y = m.astype(jnp.float32) * scale_ref[:][None]    # [R, O, Wo]
+        y = jnp.maximum(y + b_ref[:][None], 0.0)
+        out_ref[0, pl.ds(blk * r_blk, r_blk), :, :] = \
+            y.transpose(0, 2, 1).astype(out_ref.dtype)
+
+
 def _kernel_v2(xp_ref, w_ref, b_ref, out_ref, *, seg, r_blk, wo, out_ch):
     """2D-matmul variant: patches [R*Wo, 9*4C] @ weights [9*4C, 4O].
 
@@ -258,6 +289,58 @@ def _conv0_pallas(x, w, b, variant: str = "bdot", interpret: bool = False):
     return out  # bdot_planar_raw: [B, O, Ho, Wo] for planar-consuming stages
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv0_pallas_i8(x, w, b, interpret: bool = False):
+    """int8-PTQ stage 1: quantize image + s2d-rewritten weights, run the
+    int8 fused kernel. ``w``/``b`` are the BN-folded weights (any float
+    dtype); output is x.dtype NHWC like the bf16 variant.
+    """
+    batch, h, _, c = x.shape
+    out_ch = w.shape[-1]
+    ho, wo = h // 2, x.shape[2] // 2
+    n_seg, r_blk = _pick_blocking(ho, wo, 1)
+    seg = ho // n_seg
+
+    # dynamic per-batch activation scale (normalized images are bounded, but
+    # the dynamic amax also serves arbitrary inputs without clipping)
+    s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                   -127, 127).astype(jnp.int8)
+    xp = _pack_planar_s2d(x_q)                        # int8 planes
+
+    w4 = _pack_w4(w.astype(jnp.float32))              # [108, 4O] fp32
+    # per-output-channel scales; each channel's 4 phase columns contain the
+    # same weight values, so one scale per o is exact for all phases
+    s_w = jnp.maximum(jnp.max(jnp.abs(w4[:, :out_ch]), axis=0), 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w4 / jnp.tile(s_w, 4)), -127, 127).astype(jnp.int8)
+    scale = (s_x * s_w)[:, None]                      # [O, 1] fp32
+    b_arg = b.astype(jnp.float32)[:, None]            # [O, 1]
+
+    kernel = functools.partial(_kernel_i8, seg=seg, r_blk=r_blk, wo=wo,
+                               out_ch=out_ch)
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, n_seg),
+        in_specs=[
+            pl.BlockSpec((1,) + xp.shape[1:], lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * out_ch, w4.shape[0]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(scale.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_arg.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, seg, wo, out_ch), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, ho, wo, out_ch), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, w_q.T, scale, b_arg)
+    return out
+
+
 def _on_tpu() -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
 
@@ -279,6 +362,8 @@ def _partitioned_conv0(variant: str, interpret: bool):
     from jax.sharding import PartitionSpec as P
 
     def call(x, w, b):
+        if variant == "i8":
+            return _conv0_pallas_i8(x, w, b, interpret=interpret)
         return _conv0_pallas(x, w, b, variant=variant, interpret=interpret)
 
     fn = custom_partitioning(call)
@@ -308,7 +393,7 @@ def _partitioned_conv0(variant: str, interpret: bool):
 
 
 def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
-                       variant: str = "bdot"):
+                       variant: str = "bdot", int8: bool = False):
     """Stage-1 VGG block: conv3x3(pad1) + (folded-BN) bias + ReLU + maxpool2x2.
 
     x [B, H, W, C], w [3, 3, C, O], b [O] -> [B, H/2, W/2, O]. BN must already
@@ -327,4 +412,6 @@ def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
         return _xla_reference(x, w, b)
     if not supported:
         raise ValueError(f"unsupported stage-1 shape: x{x.shape} w{w.shape}")
+    if int8:
+        variant = "i8"  # int8-PTQ kernel (--int8_backbone; see _kernel_i8)
     return _partitioned_conv0(variant, not _on_tpu())(x, w, b)
