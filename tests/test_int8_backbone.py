@@ -77,6 +77,18 @@ class TestWiring:
         model, _ = build_model("baseline", 30, 4)
         assert model.int8_stages == ()
 
+    def test_opt_lvl_auto_mapping(self):
+        """O2/O3 auto-enable int8 on TPU only (tests run on CPU: stays off);
+        explicit False wins at any level."""
+        model, _ = build_model("baseline", 30, 4, opt_lvl=2)
+        assert model.int8_stages == ()  # CPU backend -> auto off
+        model, _ = build_model("baseline", 30, 4, opt_lvl=3,
+                               int8_backbone=False)
+        assert model.int8_stages == ()
+        model, _ = build_model("baseline", 30, 4, opt_lvl=0,
+                               int8_backbone=True)
+        assert model.int8_stages == (0, 2, 3, 4, 5, 6)
+
     def test_rejects_trainable_vgg(self):
         with pytest.raises(ValueError, match="frozen"):
             build_model("baseline", 30, 4, vgg_trainable=True,

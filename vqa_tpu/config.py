@@ -11,8 +11,11 @@ the same architecture hyperparameters per model name:
   transformer question encoder (SURVEY.md §7.8).
 
 The reference's Apex ``--opt_lvl`` O0-O3 maps onto a TPU precision policy:
-O0 = pure fp32; O1/O2/O3 = bf16 compute with fp32 params (bf16 needs no loss
-scaling on TPU, so the three mixed levels collapse to one policy).
+O0 = pure fp32; O1 = bf16 compute with fp32 params (the conservative mixed
+default — bf16 needs no loss scaling on TPU); O2/O3 = bf16 + int8-PTQ
+frozen backbone (Apex's "more aggressive mixed precision, may affect
+accuracy" tiers; measured -0.05pp / 6.64x, BASELINE.md). ``--int8_backbone
+true|false`` overrides the O-level default either way.
 """
 
 from __future__ import annotations
@@ -64,7 +67,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                 vgg_trainable: bool = False, opt_lvl: int = 1,
                 use_pallas: bool = False, s2d_first: bool = False,
                 conv0_pallas: bool | None = None,
-                int8_backbone: bool = False,
+                int8_backbone: bool | None = None,
                 max_seq_length: int | None = None):
     """Instantiate a model by registry name (reference main.py:162-165).
 
@@ -89,10 +92,20 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
     # (conv1 loses at 64ch through XLA, conv7 is a wash —
     # tools/exp_int8_chain.py). Stage 0 is int8 only through the fused
     # Pallas kernel (the XLA emitter's C_in=3 layout penalty applies to
-    # int8 too). Frozen-only: quantized stages have no meaningful gradient
+    # int8 too). Frozen-only: quantized stages have no meaningful gradient.
+    # Default (None): ON at opt_lvl >= 2 — the Apex O2/O3 semantics the
+    # --opt_lvl flag maps ("more aggressive mixed precision, may affect
+    # accuracy"; measured -0.05pp, BASELINE.md) — OFF at O0/O1
     if int8_backbone and vgg_trainable:
         raise ValueError("--int8_backbone requires a frozen VGG "
                          "(--vgg_train false)")
+    if int8_backbone is None:
+        # auto engages on TPU only: XLA's CPU int8 conv path is a scalar
+        # reference implementation (orders of magnitude slower); explicit
+        # --int8_backbone true is honored on any backend
+        import jax
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        int8_backbone = opt_lvl >= 2 and not vgg_trainable and on_tpu
     int8_stages = () if not int8_backbone else (
         (0, 2, 3, 4, 5, 6) if conv0_pallas else (2, 3, 4, 5, 6))
     if model_name == "baseline":

@@ -132,12 +132,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "image into a disk cache and train the head "
                              "against cached features (requires a frozen VGG "
                              "in running-stats BN mode)")
-    parser.add_argument("--int8_backbone", type=str2bool, default="false",
+    parser.add_argument("--int8_backbone", type=str, default="auto",
+                        choices=["auto", "true", "false"],
                         help="int8 post-training quantization of the frozen "
                              "VGG conv stack (per-channel weight scales, "
-                             "dynamic activation scales; 1.4-1.6x on the "
-                             "large stages — see BASELINE.md for measured "
-                             "throughput and accuracy)")
+                             "dynamic activation scales; 6.64x measured at "
+                             "-0.05pp accuracy, BASELINE.md). auto = on at "
+                             "--opt_lvl 2/3 (the Apex O2/O3 'aggressive "
+                             "mixed precision' semantics), off at O0/O1")
     parser.add_argument("--cache_dir", type=str, default="",
                         help="feature-cache root (default: <run log dir>/"
                              "feature_cache); caches are keyed by weights "
@@ -278,10 +280,11 @@ def main(argv=None):
             f"--num_cls {args.num_cls} is smaller than the vocab's answer set "
             f"({vocab.num_labels - 1} labels + UNKNOWN). Rebuild the vocab with "
             f"-K {args.num_cls} or pass --num_cls {vocab.num_labels - 1}.")
+    int8_backbone = {"auto": None, "true": True, "false": False}[args.int8_backbone]
     model, cfg = build_model(args.model, vocab.size, num_classes,
                              vgg_trainable=args.vgg_train, opt_lvl=args.opt_lvl,
                              use_pallas=args.use_pallas,
-                             int8_backbone=args.int8_backbone,
+                             int8_backbone=int8_backbone,
                              max_seq_length=vocab.max_seq_length)
     image_size = args.image_size or cfg.image_size
     host_size = args.host_size or image_size
