@@ -112,7 +112,8 @@ def bench_pipeline(model_name: str, batch: int, steps: int, use_pallas: bool,
 
     model, _ = build_model(model_name, vocab.size, vocab.num_labels,
                            opt_lvl=1, use_pallas=use_pallas,
-                           conv0_pallas=conv0_pallas)
+                           conv0_pallas=conv0_pallas,
+                           int8_backbone=os.environ.get("BENCH_INT8") == "1")
     preprocess = make_image_preprocessor(image_size, jnp.bfloat16)
     samples = VQASamples(os.path.join(data_dir, "train.txt"),
                          os.path.join(data_dir, "imgs"),
@@ -158,9 +159,10 @@ def bench_pipeline(model_name: str, batch: int, steps: int, use_pallas: bool,
     float(metrics["loss"])  # in-order queue: syncs every timed step
     dt = time.perf_counter() - t0
     qps = batch * steps / dt
+    int8 = os.environ.get("BENCH_INT8") == "1"
     print(json.dumps({
         "metric": f"pipeline_train_qa_pairs_per_sec_{model_name}_b{batch}"
-                  f"_w{workers}",
+                  f"_w{workers}{'_int8' if int8 else ''}",
         "value": round(qps, 2),
         "unit": "qa_pairs_per_sec",
         "input_stall_fraction": round(stall / dt, 3),

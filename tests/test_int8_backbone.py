@@ -17,11 +17,29 @@ from vqa_tpu.config import build_model
 from vqa_tpu.models.vgg import VGG11Encoder
 
 
+def _randomize_bn_stats(variables, seed=3):
+    """Non-trivial running mean/var so the BN fold actually scales weights
+    (init stats are mean 0 / var 1 -> s ~= 1, which would mask a bug where
+    quantization scales came from the raw instead of the folded kernel)."""
+    import flax.traverse_util as tu
+
+    key = jax.random.PRNGKey(seed)
+    flat = tu.flatten_dict(variables)
+    for k, v in flat.items():
+        if k[0] != "batch_stats":
+            continue
+        key, sub = jax.random.split(key)
+        if k[-1] == "mean":
+            flat[k] = jax.random.normal(sub, v.shape) * 0.2
+        elif k[-1] == "var":
+            flat[k] = jax.random.uniform(sub, v.shape, minval=0.3, maxval=2.0)
+    return tu.unflatten_dict(flat)
+
+
 def _features(int8_stages, x, seed=0):
     enc = VGG11Encoder(include_head=False, int8_stages=int8_stages)
-    variables = enc.init({"params": jax.random.PRNGKey(seed)}, x)
-    # non-trivial BN stats so the fold actually exercises scales
-    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    variables = _randomize_bn_stats(
+        enc.init({"params": jax.random.PRNGKey(seed)}, x))
     return enc.apply(variables, x, False, True), variables, enc
 
 

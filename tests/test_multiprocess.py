@@ -53,6 +53,7 @@ def worker_losses(tmp_path_factory):
         except subprocess.TimeoutExpired as e:
             for p in procs:
                 p.kill()
+                p.communicate()  # reap + drain pipes before retrying
             last = f"timeout: {e}"
             continue
         if all(p.returncode == 0 for p in procs):

@@ -100,12 +100,19 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
         raise ValueError("--int8_backbone requires a frozen VGG "
                          "(--vgg_train false)")
     if int8_backbone is None:
-        # auto engages on TPU only: XLA's CPU int8 conv path is a scalar
-        # reference implementation (orders of magnitude slower); explicit
-        # --int8_backbone true is honored on any backend
-        import jax
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        int8_backbone = opt_lvl >= 2 and not vgg_trainable and on_tpu
+        int8_backbone = opt_lvl >= 2 and not vgg_trainable
+        if int8_backbone:
+            # auto engages on TPU only: XLA's CPU int8 conv path is a scalar
+            # reference implementation (orders of magnitude slower); explicit
+            # int8_backbone=True is honored on any backend. The platform
+            # check runs only when O2/O3 actually ask for it (jax.devices()
+            # can block on a wedged tunnel).
+            from .ops.conv_stage1 import _on_tpu
+            int8_backbone = _on_tpu()
+            if int8_backbone:
+                print("NOTE: --opt_lvl >= 2 enables the int8-PTQ frozen "
+                      "backbone (measured -0.05pp accuracy, BASELINE.md); "
+                      "pass --int8_backbone false for pure bf16")
     int8_stages = () if not int8_backbone else (
         (0, 2, 3, 4, 5, 6) if conv0_pallas else (2, 3, 4, 5, 6))
     if model_name == "baseline":

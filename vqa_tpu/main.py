@@ -221,15 +221,21 @@ def _make_feature_encoder(model_name, model, variables, preprocess):
     """
     from .data.feature_cache import variables_fingerprint
 
+    # int8_stages must match the training tower exactly (the cached features
+    # ARE the tower's output) and participates in the boundary so int8 and
+    # bf16 caches can never collide under one key
+    int8_tag = f"|i8{','.join(map(str, model.int8_stages))}" \
+        if model.int8_stages else ""
     if model_name == "attention":
         from .models.coattention import ImageCoAttentionEncoder
         enc = ImageCoAttentionEncoder(
             vgg_trainable=False, s2d_first=model.s2d_first,
-            conv0_pallas=model.conv0_pallas, remat=model.remat,
+            conv0_pallas=model.conv0_pallas,
+            int8_stages=model.int8_stages, remat=model.remat,
             dtype=model.dtype)
         sub_params = variables["params"]["image_encoder"]
         sub_stats = variables.get("batch_stats", {}).get("image_encoder", {})
-        boundary = "coattn_image_encoder"
+        boundary = "coattn_image_encoder" + int8_tag
     else:  # baseline / bert share ImageBaselineEncoder's frozen VGG tower.
         # Boundary = the conv-stack output [7, 7, 512], NOT the 4096-d head:
         # the FC head contains Dropout(0.5) layers that must stay live
@@ -237,6 +243,7 @@ def _make_feature_encoder(model_name, model, variables, preprocess):
         from .models.vgg import VGG11Encoder
         enc = VGG11Encoder(include_head=False, s2d_first=model.s2d_first,
                            conv0_pallas=model.conv0_pallas,
+                           int8_stages=model.int8_stages,
                            remat=getattr(model, "remat", False),
                            dtype=model.dtype)
         # narrow to the conv-stack subtree: include_head=False never touches
@@ -248,7 +255,7 @@ def _make_feature_encoder(model_name, model, variables, preprocess):
         vgg_stats = (variables.get("batch_stats", {})
                      .get("image_encoder", {}).get("vgg11_encoder", {}))
         sub_stats = {"features": vgg_stats["features"]} if vgg_stats else {}
-        boundary = "vgg11_features"
+        boundary = "vgg11_features" + int8_tag
     sub_vars = {"params": sub_params}
     if sub_stats:
         sub_vars["batch_stats"] = sub_stats

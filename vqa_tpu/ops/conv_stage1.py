@@ -298,7 +298,10 @@ def _conv0_pallas_i8(x, w, b, interpret: bool = False):
     batch, h, _, c = x.shape
     out_ch = w.shape[-1]
     ho, wo = h // 2, x.shape[2] // 2
-    n_seg, r_blk = _pick_blocking(ho, wo, 1)
+    # block by the OUTPUT row size — the out block is x.dtype (bf16), not
+    # int8; undersizing here unrolls more blocks per body than any measured
+    # config (Mosaic-compiler OOM territory, see module notes)
+    n_seg, r_blk = _pick_blocking(ho, wo, jnp.dtype(x.dtype).itemsize)
     seg = ho // n_seg
 
     # dynamic per-batch activation scale (normalized images are bounded, but

@@ -55,6 +55,7 @@ class VQAPredictor:
     def __init__(self, model_name: str, vocab: Vocab, checkpoint: str | None = None,
                  *, num_cls: int | None = None, batch_size: int = 32,
                  opt_lvl: int = 1, use_pallas: bool = False,
+                 int8_backbone: bool | None = None,
                  synthetic_images: bool = False, image_size: int | None = None):
         self.vocab = vocab
         self.batch_size = batch_size
@@ -71,7 +72,8 @@ class VQAPredictor:
             num_classes = (num_cls + 1) if num_cls is not None else vocab.num_labels
         self.num_classes = num_classes
         self.model, cfg = build_model(model_name, vocab.size, num_classes,
-                                      opt_lvl=opt_lvl, use_pallas=use_pallas)
+                                      opt_lvl=opt_lvl, use_pallas=use_pallas,
+                                      int8_backbone=int8_backbone)
         self.image_size = image_size or cfg.image_size
         self.preprocess = make_image_preprocessor(self.image_size)
 
@@ -160,6 +162,10 @@ def build_parser():
     ap.add_argument("--top_k", type=int, default=1)
     ap.add_argument("--num_cls", type=int)
     ap.add_argument("--opt_lvl", type=int, default=1, choices=[0, 1, 2, 3])
+    ap.add_argument("--int8_backbone", type=str, default="auto",
+                    choices=["auto", "true", "false"],
+                    help="int8-PTQ frozen backbone; auto = on at "
+                         "--opt_lvl 2/3 on TPU (see BASELINE.md)")
     ap.add_argument("--use_pallas", action="store_true")
     ap.add_argument("--synthetic_images", action="store_true")
     ap.add_argument("--image_size", type=int,
@@ -170,11 +176,14 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     vocab = Vocab.load(args.vocab_file)
-    predictor = VQAPredictor(args.model, vocab, args.model_ckpt,
-                             num_cls=args.num_cls, batch_size=args.batch_size,
-                             opt_lvl=args.opt_lvl, use_pallas=args.use_pallas,
-                             synthetic_images=args.synthetic_images,
-                             image_size=args.image_size)
+    predictor = VQAPredictor(
+        args.model, vocab, args.model_ckpt,
+        num_cls=args.num_cls, batch_size=args.batch_size,
+        opt_lvl=args.opt_lvl, use_pallas=args.use_pallas,
+        int8_backbone={"auto": None, "true": True,
+                       "false": False}[args.int8_backbone],
+        synthetic_images=args.synthetic_images,
+        image_size=args.image_size)
 
     import sys
     lines = (sys.stdin if args.input == "-" else open(args.input)).read().split("\n")
