@@ -99,6 +99,21 @@ class TestDataLoader:
         dl._epoch = 1
         assert any(orders[0] != dl._epoch_order().tolist() for _ in range(1))
 
+    def test_set_epoch_matches_uninterrupted_run(self, data_file, tmp_path,
+                                                 word2idx, label2idx):
+        """Resume contract: a loader positioned at epoch k via set_epoch
+        yields exactly the batch order an uninterrupted run sees in its
+        (k+1)-th epoch — no silent replay of epoch 0 (SURVEY §5.3)."""
+        full = self._loader(data_file, tmp_path, word2idx, label2idx, seed=5)
+        for _ in range(2):            # consume epochs 0 and 1
+            list(full)
+        uninterrupted = [b["question"].tolist() for b in full]  # epoch 2
+
+        resumed = self._loader(data_file, tmp_path, word2idx, label2idx, seed=5)
+        resumed.set_epoch(2)
+        got = [b["question"].tolist() for b in resumed]
+        assert got == uninterrupted
+
     def test_sharding_disjoint_and_equal(self, data_file, tmp_path, word2idx,
                                          label2idx):
         s0 = self._loader(data_file, tmp_path, word2idx, label2idx,

@@ -73,6 +73,27 @@ class TestNumerics:
         c = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
         assert c > 0.999, c
 
+    def test_int8_fallback_is_int8_on_every_platform(self):
+        """int8=True off-TPU falls back to the int8 XLA reference — NOT the
+        bf16 oracle — so one --int8_backbone config computes one set of
+        values regardless of platform (ADVICE r2)."""
+        from vqa_tpu.ops.conv_stage1 import (_conv0_pallas_i8, _xla_reference,
+                                             _xla_reference_i8,
+                                             conv0_bn_relu_pool)
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 64)) * 0.2
+        b = jax.random.normal(jax.random.PRNGKey(2), (64,)) * 0.1
+        got = np.asarray(conv0_bn_relu_pool(x, w, b, int8=True), np.float32)
+        i8_ref = np.asarray(_xla_reference_i8(x, w, b), np.float32)
+        np.testing.assert_allclose(got, i8_ref, rtol=0, atol=1e-5)
+        # and the int8 XLA reference agrees with the int8 Pallas kernel
+        kern = np.asarray(_conv0_pallas_i8(x, w, b, interpret=True), np.float32)
+        np.testing.assert_allclose(kern, i8_ref, rtol=1e-4, atol=1e-4)
+        # sanity: it is NOT the bf16 fallback
+        bf16 = np.asarray(_xla_reference(x, w, b), np.float32)
+        assert np.abs(got - bf16).max() > 1e-6
+
     def test_int8_only_in_running_stats_mode(self):
         """batch-stats mode (trainable/bn quirk) ignores int8_stages."""
         x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))

@@ -282,6 +282,87 @@ class TestTestMode:
         assert "(13 samples)" in stdout
         assert len(open(out).read().strip().split("\n")) == 13
 
+    @pytest.mark.slow
+    def test_test_mode_loss_is_sample_weighted(self, toy_data, capsys):
+        """The reported test loss must not change with batching: 13 samples
+        as 3 full batches + a 1-row tail (b=4) vs one batch of 13 give the
+        same sample-weighted mean (the r2 batch-weighted bug)."""
+        import re
+        lines = open(toy_data["data"]).read().strip().split("\n")[:13]
+        val13 = os.path.join(toy_data["root"], "val13w.txt")
+        with open(val13, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        def run(batch_size):
+            run_main(["--mode", "test", "--model", "baseline",
+                      "--expt_dir", toy_data["root"], "--expt_name", "e",
+                      "--run_name", f"lw{batch_size}",
+                      "--vocab_file", toy_data["vocab"], "--num_cls", "3",
+                      "--val_img", toy_data["root"], "--val_file", val13,
+                      "--synthetic_images", "true", "--image_size", "32",
+                      "--opt_lvl", "0", "--seed", "3",
+                      "--batch_size", str(batch_size)])
+            out = capsys.readouterr().out
+            m = re.search(r"Test Loss: ([0-9.]+)", out)
+            return float(m.group(1))
+
+        assert abs(run(4) - run(13)) < 2e-4
+
+    @pytest.mark.slow
+    def test_vqa_results_format_roundtrip(self, toy_data, tmp_path):
+        """--test_out_format vqa emits the official results JSON that
+        datahelper.VQA.loadRes validates and indexes (the one reference API
+        that previously had no producing path)."""
+        import json
+        lines = open(toy_data["data"]).read().strip().split("\n")[:9]
+        val9 = os.path.join(toy_data["root"], "val9.txt")
+        with open(val9, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        res_file = str(tmp_path / "results.json")
+        run_main(["--mode", "test", "--model", "baseline",
+                  "--expt_dir", toy_data["root"], "--expt_name", "e",
+                  "--run_name", "vqafmt", "--vocab_file", toy_data["vocab"],
+                  "--num_cls", "3", "--val_img", toy_data["root"],
+                  "--val_file", val9, "--synthetic_images", "true",
+                  "--image_size", "32", "--opt_lvl", "0", "--batch_size", "4",
+                  "--test_out", res_file, "--test_out_format", "vqa"])
+
+        res = json.load(open(res_file))
+        assert [r["question_id"] for r in res] == list(range(9))
+        assert all(isinstance(r["answer"], str) for r in res)
+
+        # synthetic annotations/questions with matching ids -> loadRes
+        # validates and indexes the produced file
+        ann_file = str(tmp_path / "ann.json")
+        ques_file = str(tmp_path / "ques.json")
+        anns = {"info": {}, "task_type": "Open-Ended", "data_type": "toy",
+                "data_subtype": "val", "license": {},
+                "annotations": [
+                    {"question_id": i, "image_id": i % 3,
+                     "question_type": "what", "answer_type": "other",
+                     "multiple_choice_answer": line.split("\t")[2],
+                     "answers": [{"answer": line.split("\t")[2],
+                                  "answer_id": 1,
+                                  "answer_confidence": "yes"}]}
+                    for i, line in enumerate(lines)]}
+        ques = {"info": {}, "task_type": "Open-Ended", "data_type": "toy",
+                "data_subtype": "val", "license": {},
+                "questions": [{"question_id": i, "image_id": i % 3,
+                               "question": line.split("\t")[1]}
+                              for i, line in enumerate(lines)]}
+        json.dump(anns, open(ann_file, "w"))
+        json.dump(ques, open(ques_file, "w"))
+
+        from vqa_tpu.datahelper import VQA
+        vqa = VQA(ann_file, ques_file)
+        res_index = vqa.loadRes(res_file, ques_file)
+        assert set(res_index.qa) == set(range(9))
+        # the round-trip supports accuracy computation against GT
+        acc = sum(res_index.qa[i]["answer"]
+                  == vqa.qa[i]["multiple_choice_answer"]
+                  for i in range(9)) / 9.0
+        assert 0.0 <= acc <= 1.0
+
     def test_latest_without_checkpoints_fails_loudly(self, toy_data, tmp_path):
         with pytest.raises(SystemExit, match="no model_<step>.ckpt"):
             run_main(["--mode", "test", "--model", "baseline",

@@ -120,6 +120,8 @@ def build_or_open(cache_root: str, samples, encode_fn, *, fingerprint: str,
     from .images import decode_batch
 
     names = sorted(set(samples.image_names))
+    if not names:
+        raise ValueError("feature cache: dataset has no images to cache")
     nh = hashlib.blake2b(digest_size=8)
     nh.update("\n".join(names).encode())
     pipeline_tag = f"h{host_size}|syn{int(synthetic_images)}|{decode_backend}"

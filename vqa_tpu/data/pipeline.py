@@ -102,6 +102,19 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Position the shuffle sequence at ``epoch`` (resume support).
+
+        The per-epoch order is a pure function of ``(seed, epoch)``
+        (``_epoch_order``), so a resumed run that sets the epoch derived
+        from the restored step (``step // steps_per_epoch``) sees the same
+        epoch orders an uninterrupted run would — instead of silently
+        replaying epoch 0. Intra-epoch position is NOT restored: resume
+        granularity is the epoch (checkpoint at epoch boundaries, or accept
+        replaying the interrupted epoch's prefix).
+        """
+        self._epoch = int(epoch)
+
     def _epoch_order(self) -> np.ndarray:
         order = np.arange(len(self.samples))
         if self.shuffle:

@@ -116,6 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="override model input resolution (0 = per-model default)")
     parser.add_argument("--test_out", type=str,
                         help="test mode: write predictions (img, question, answer) here")
+    parser.add_argument("--test_out_format", type=str, default="plain",
+                        choices=["plain", "vqa"],
+                        help="--test_out format: plain = one answer per line; "
+                             "vqa = the official evaluation JSON "
+                             "[{question_id, answer}] that datahelper.VQA."
+                             "loadRes consumes (question_id = 0-based line "
+                             "index into --val_file, the id prepare_data "
+                             "assigns when no annotation ids exist)")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace of N train steps into the run dir")
     parser.add_argument("--bn_mode", type=str, default="auto",
@@ -438,6 +446,9 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
 
     steps_per_epoch = len(train_loader)
     curr_step = int(state.step)
+    # resume: position the data order at the epoch the restored step lies in
+    # (epoch order is a pure function of (seed, epoch) — pipeline.set_epoch)
+    train_loader.set_epoch(curr_step // max(steps_per_epoch, 1))
     eta = ETAEstimator(steps_per_epoch, args.num_epochs, start_step=curr_step)
 
     from .train.checkpoint import AsyncCheckpointer
@@ -560,8 +571,7 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
 
     num_correct = 0
     total = 0
-    loss = 0.0
-    n_batches = 0
+    loss_sum = 0.0
     predictions = []
     for batch in loader:
         # mesh sharding needs a leading axis divisible by the device count;
@@ -572,20 +582,31 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
         preds = np.asarray(m["pred"])[:n]
         labels = np.asarray(batch["label"])[:n]
         num_correct += int((preds == labels).sum())
-        loss += float(np.asarray(m["loss_per"])[:n].mean())
+        # sample-weighted loss: sum per-sample CE over valid rows so the
+        # final partial batch counts by its size, exactly like accuracy
+        loss_sum += float(np.asarray(m["loss_per"])[:n].sum())
         total += n
-        n_batches += 1
         if args.test_out:
             predictions.extend(vocab.idx2label[int(p)] for p in preds)
 
     accuracy = 100.0 * num_correct / max(total, 1)
-    print(f"Test Accuracy: {accuracy:.2f} %  || Test Loss: {loss / max(n_batches, 1):.4f} "
+    print(f"Test Accuracy: {accuracy:.2f} %  || Test Loss: {loss_sum / max(total, 1):.4f} "
           f"({total} samples)")
 
     if args.test_out:
         with open(args.test_out, "w") as f:
-            for pred in predictions:
-                f.write(pred + "\n")
+            if args.test_out_format == "vqa":
+                # official evaluation format (datahelper.VQA.loadRes,
+                # /root/reference/datahelper.py:149-183): one record per
+                # --val_file line, question_id = its 0-based line index
+                # (the loader runs unshuffled with drop_last=False, so
+                # prediction order IS file order)
+                import json
+                json.dump([{"question_id": i, "answer": p}
+                           for i, p in enumerate(predictions)], f)
+            else:
+                for pred in predictions:
+                    f.write(pred + "\n")
         print(f"Predictions written to {args.test_out}")
 
 

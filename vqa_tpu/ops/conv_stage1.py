@@ -47,6 +47,29 @@ def _xla_reference(x, w, b):
                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
+def _xla_reference_i8(x, w, b):
+    """int8-PTQ stage 1 via plain XLA — the ``_kernel_i8`` oracle AND the
+    off-TPU/unsupported-shape fallback, so ``int8=True`` yields the same
+    quantized numerics on every platform (dequant-then-pool == the kernel's
+    pool-then-dequant: the scale is positive and the bias per-channel).
+    """
+    s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                   -127, 127).astype(jnp.int8)
+    w32 = w.astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = jax.nn.relu(acc.astype(jnp.float32) * (s_x * s_w)
+                    + b.astype(jnp.float32))
+    y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
+                              (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return y.astype(x.dtype)
+
+
 def _pack_planar_s2d(x, wo_pad: int | None = None):
     """[B, H, W, C] -> zero-padded planar s2d [B, 4C, H/2+2, (wo_pad|W/2)+2].
 
@@ -412,7 +435,10 @@ def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
     supported = (w.shape[:2] == (3, 3) and h % 2 == 0 and wd % 2 == 0
                  and _pick_blocking(h // 2, wd // 2) is not None)
     if force == "xla" or (force != "pallas" and not (supported and _on_tpu())):
-        return _xla_reference(x, w, b)
+        # int8 requests keep int8 numerics on the fallback path too, so the
+        # same --int8_backbone config computes the same values on every
+        # platform (feature caches built off-TPU stay valid on-TPU)
+        return _xla_reference_i8(x, w, b) if int8 else _xla_reference(x, w, b)
     if not supported:
         raise ValueError(f"unsupported stage-1 shape: x{x.shape} w{w.shape}")
     if int8:
