@@ -127,6 +127,15 @@ def bench_pipeline(model_name: str, batch: int, steps: int, use_pallas: bool,
             "question": jnp.zeros((1, vocab.max_seq_length), jnp.int32),
             "ques_len": jnp.ones((1,), jnp.int32)}
     state = create_train_state(model, jax.random.PRNGKey(0), init, 1e-4)
+    if model.int8_stages:
+        # static activation scales from one real data batch (production path)
+        from vqa_tpu.train.calibrate import calibrate_model
+        it = iter(loader)
+        first = next(it)
+        it.close()
+        model = calibrate_model(model_name, model, state.variables(),
+                                preprocess, [first["image"]],
+                                log=lambda s: None)
     tx = make_optimizer(1e-4, state.params, vgg_trainable=False)
     train_step = make_train_step(model, tx, donate=True)
 
@@ -201,6 +210,14 @@ def main():
 
     init_batch = {"image": img[:1], "question": ques[:1], "ques_len": lens[:1]}
     state = create_train_state(model, rng, init_batch, learning_rate=1e-4)
+    if model.int8_stages and os.environ.get("BENCH_INT8_DYNAMIC") != "1":
+        # static calibrated activation scales (the production int8 path;
+        # BENCH_INT8_DYNAMIC=1 keeps the r2 per-batch dynamic scales for A/B)
+        from vqa_tpu.train.calibrate import (amax_tuple, collect_amax,
+                                             image_tower)
+        enc, sub_vars = image_tower(model_name, model, state.variables())
+        amax = collect_amax(enc, sub_vars, [img[: min(batch, 32)]])
+        model = model.clone(int8_amax=amax_tuple(model.int8_stages, amax))
     device_batch = {"image": img, "question": ques, "ques_len": lens, "label": labels}
     if mode == "cached":
         # frozen-tower feature-cache training (--cache_features): the image

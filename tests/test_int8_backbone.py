@@ -73,6 +73,56 @@ class TestNumerics:
         c = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
         assert c > 0.999, c
 
+    def test_static_calibrated_scales_are_batch_invariant(self):
+        """Calibrated static scales (r3): an image's quantized features no
+        longer depend on its batchmates; dynamic scales (the r2 behavior)
+        do — the difference the calibration exists to remove."""
+        from vqa_tpu.train.calibrate import amax_tuple, collect_amax
+
+        enc = VGG11Encoder(include_head=False, int8_stages=(2, 3))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        variables = enc.init({"params": jax.random.PRNGKey(1)}, x)
+        amax = collect_amax(enc, variables, [x, x * 2.0])
+        assert set(amax) == {2, 3} and all(v > 0 for v in amax.values())
+        enc_static = enc.clone(int8_amax=amax_tuple((2, 3), amax))
+
+        xa = x[:1]
+        xb = jnp.concatenate([xa, x[1:] * 3.0])  # extreme batchmate
+        fa = enc_static.apply(variables, xa, False, True)
+        fb = enc_static.apply(variables, xb, False, True)[:1]
+        assert jnp.all(fa == fb), "static-scale features depend on batchmates"
+        fa_d = enc.apply(variables, xa, False, True)
+        fb_d = enc.apply(variables, xb, False, True)[:1]
+        assert jnp.any(fa_d != fb_d), \
+            "dynamic scales unexpectedly batch-invariant (test is vacuous)"
+
+    def test_calibrate_model_sidecar_roundtrip(self, tmp_path):
+        """calibrate_model writes int8_calib.json; load_calib round-trips it
+        and rejects a different stage set."""
+        from vqa_tpu.config import build_model
+        from vqa_tpu.train.calibrate import calibrate_model, load_calib
+
+        model, _ = build_model("baseline", 30, 4, int8_backbone=True,
+                               conv0_pallas=False)
+        assert model.int8_stages == (2, 3, 4, 5, 6)
+        x = np.random.default_rng(0).integers(
+            0, 255, (2, 32, 32, 3), np.uint8)
+        img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0)}, img,
+            jnp.zeros((1, 5), jnp.int32), jnp.ones((1,), jnp.int32))
+
+        def preprocess(u8):
+            return jnp.asarray(u8, jnp.float32) / 255.0
+
+        calibrated = calibrate_model("baseline", model, variables, preprocess,
+                                     [x], log_dir=str(tmp_path), log=lambda s: None)
+        assert len(calibrated.int8_amax) == 5
+        assert all(a > 0 for a in calibrated.int8_amax)
+        assert load_calib(str(tmp_path), model.int8_stages) \
+            == calibrated.int8_amax
+        assert load_calib(str(tmp_path), (2, 3)) is None  # stale stage set
+
     def test_int8_fallback_is_int8_on_every_platform(self):
         """int8=True off-TPU falls back to the int8 XLA reference — NOT the
         bf16 oracle — so one --int8_backbone config computes one set of

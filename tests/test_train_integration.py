@@ -283,6 +283,36 @@ class TestTestMode:
         assert len(open(out).read().strip().split("\n")) == 13
 
     @pytest.mark.slow
+    def test_int8_calibration_train_then_test(self, toy_data, capsys):
+        """--int8_backbone + --int8_calib: training writes int8_calib.json
+        (static scales), and test mode reuses it (quantization identical to
+        training, batch-composition-independent)."""
+        import json
+        expt = os.path.join(toy_data["root"], "expt_i8c")
+        common = [
+            "--model", "baseline", "--expt_dir", expt, "--expt_name", "e",
+            "--run_name", "r", "--vocab_file", toy_data["vocab"],
+            "--num_cls", "3", "--num_workers", "1",
+            "--synthetic_images", "true", "--image_size", "32",
+            "--batch_size", "4", "--int8_backbone", "true",
+            "--int8_calib", "2"]
+        run_main(["--mode", "train",
+                  "--train_img", toy_data["root"],
+                  "--train_file", toy_data["data"],
+                  "--num_epochs", "1", "--save_interval", "6",
+                  "--log_interval", "100"] + common)
+        log_dir = os.path.join(expt, "e", "r")
+        calib = json.load(open(os.path.join(log_dir, "int8_calib.json")))
+        assert calib["stages"] == [0, 2, 3, 4, 5, 6]
+        assert len(calib["amax"]) == 6 and all(a > 0 for a in calib["amax"])
+
+        run_main(["--mode", "test", "--model_ckpt", "latest",
+                  "--val_img", toy_data["root"],
+                  "--val_file", toy_data["data"]] + common)
+        out = capsys.readouterr().out
+        assert "int8 calibration: loaded static scales" in out
+
+    @pytest.mark.slow
     def test_test_mode_loss_is_sample_weighted(self, toy_data, capsys):
         """The reported test loss must not change with batching: 13 samples
         as 3 full batches + a 1-row tail (b=4) vs one batch of 13 give the

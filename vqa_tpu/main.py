@@ -148,6 +148,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "-0.05pp accuracy, BASELINE.md). auto = on at "
                              "--opt_lvl 2/3 (the Apex O2/O3 'aggressive "
                              "mixed precision' semantics), off at O0/O1")
+    parser.add_argument("--int8_calib", type=int, default=8,
+                        help="int8 static-scale calibration: batches of "
+                             "train data sampled at startup to fix each "
+                             "quantized stage's activation scale (batch-"
+                             "invariant features, no per-step amax "
+                             "reduction; persisted as int8_calib.json). "
+                             "0 = dynamic per-batch scales")
     parser.add_argument("--cache_dir", type=str, default="",
                         help="feature-cache root (default: <run log dir>/"
                              "feature_cache); caches are keyed by weights "
@@ -228,45 +235,26 @@ def _make_feature_encoder(model_name, model, variables, preprocess):
     weight change invalidates caches (vqa_tpu.data.feature_cache).
     """
     from .data.feature_cache import variables_fingerprint
+    from .train.calibrate import image_tower
 
-    # int8_stages must match the training tower exactly (the cached features
-    # ARE the tower's output) and participates in the boundary so int8 and
-    # bf16 caches can never collide under one key
-    int8_tag = f"|i8{','.join(map(str, model.int8_stages))}" \
-        if model.int8_stages else ""
-    if model_name == "attention":
-        from .models.coattention import ImageCoAttentionEncoder
-        enc = ImageCoAttentionEncoder(
-            vgg_trainable=False, s2d_first=model.s2d_first,
-            conv0_pallas=model.conv0_pallas,
-            int8_stages=model.int8_stages, remat=model.remat,
-            dtype=model.dtype)
-        sub_params = variables["params"]["image_encoder"]
-        sub_stats = variables.get("batch_stats", {}).get("image_encoder", {})
-        boundary = "coattn_image_encoder" + int8_tag
-    else:  # baseline / bert share ImageBaselineEncoder's frozen VGG tower.
-        # Boundary = the conv-stack output [7, 7, 512], NOT the 4096-d head:
-        # the FC head contains Dropout(0.5) layers that must stay live
-        # in-step for cached training to equal uncached training exactly.
-        from .models.vgg import VGG11Encoder
-        enc = VGG11Encoder(include_head=False, s2d_first=model.s2d_first,
-                           conv0_pallas=model.conv0_pallas,
-                           int8_stages=model.int8_stages,
-                           remat=getattr(model, "remat", False),
-                           dtype=model.dtype)
-        # narrow to the conv-stack subtree: include_head=False never touches
-        # the classifier FCs, and fingerprinting them would (a) hash ~400MB
-        # for nothing and (b) spuriously invalidate caches on head-only
-        # weight differences
-        vgg = variables["params"]["image_encoder"]["vgg11_encoder"]
-        sub_params = {"features": vgg["features"]}
-        vgg_stats = (variables.get("batch_stats", {})
-                     .get("image_encoder", {}).get("vgg11_encoder", {}))
-        sub_stats = {"features": vgg_stats["features"]} if vgg_stats else {}
-        boundary = "vgg11_features" + int8_tag
-    sub_vars = {"params": sub_params}
-    if sub_stats:
-        sub_vars["batch_stats"] = sub_stats
+    # int8_stages (and the calibrated static scales, which change the
+    # values) must match the training tower exactly — the cached features
+    # ARE the tower's output — and participate in the boundary so int8,
+    # bf16, and differently-calibrated caches can never collide
+    int8_tag = ""
+    if model.int8_stages:
+        int8_tag = f"|i8{','.join(map(str, model.int8_stages))}"
+        if model.int8_amax:
+            int8_tag += "@" + ",".join(f"{a:.8g}" for a in model.int8_amax)
+    # Boundary notes: attention caches the co-attention image-encoder
+    # output; baseline/bert cache the conv-stack output [7, 7, 512], NOT
+    # the 4096-d head — the FC head's Dropout(0.5) layers must stay live
+    # in-step for cached training to equal uncached training exactly.
+    # The param narrowing in image_tower keeps head-only weight changes
+    # from spuriously invalidating caches (and skips hashing ~400MB).
+    enc, sub_vars = image_tower(model_name, model, variables)
+    boundary = ("coattn_image_encoder" if model_name == "attention"
+                else "vgg11_features") + int8_tag
 
     @jax.jit
     def encode(images_u8):
@@ -383,6 +371,41 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
         state = load_any(ckpt_path, state, args.model)
         print_and_log(f"Model successfully loaded from {ckpt_path}"
                       "\nResuming Training...", log_file)
+
+    # int8 static-scale calibration (AFTER checkpoint load: scales depend on
+    # the weights in use). Reuses the run's int8_calib.json when present so
+    # resume/test see identical quantization; otherwise records per-stage
+    # activation amax over the first --int8_calib batches of the epoch-0
+    # order and bakes them into the model as compile-time constants.
+    if model.int8_stages and args.int8_calib > 0:
+        from .train.calibrate import calibrate_model, load_calib
+        amax = load_calib(log_dir, model.int8_stages)
+        if amax is not None:
+            model = model.clone(int8_amax=amax)
+            print_and_log("int8 calibration: reusing "
+                          f"{os.path.join(log_dir, 'int8_calib.json')}",
+                          log_file)
+        else:
+            _, calib_loader = make_loader(args.train_file, args.train_img,
+                                          samples=train_dataset)
+
+            def host_batches(n=args.int8_calib, loader=calib_loader):
+                # stream (not collect): N full-size uint8 batches would be
+                # hundreds of MB of host RAM at b160@448
+                it = iter(loader)
+                try:
+                    for _ in range(n):
+                        try:
+                            yield next(it)["image"]
+                        except StopIteration:
+                            return
+                finally:
+                    it.close()
+
+            model = calibrate_model(args.model, model, state.variables(),
+                                    preprocess, host_batches(),
+                                    log_dir=log_dir,
+                                    log=lambda s: print_and_log(s, log_file))
 
     # Frozen-tower feature cache: build (or reuse) AFTER checkpoint load so
     # the cache fingerprints the weights actually in use, then create the
@@ -539,6 +562,17 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
     if args.cache_features:
         print("NOTE: --cache_features is a training-loop feature; test mode "
               "evaluates each image once and ignores it")
+    if model.int8_stages:
+        # evaluation must quantize exactly like training did: reuse the
+        # run's calibrated static scales when the sidecar exists
+        from .train.calibrate import load_calib
+        amax = load_calib(log_dir, model.int8_stages)
+        if amax is not None:
+            model = model.clone(int8_amax=amax)
+            print(f"int8 calibration: loaded static scales from {log_dir}")
+        else:
+            print("NOTE: no int8_calib.json in the run dir; int8 stages use "
+                  "dynamic per-batch activation scales (batch-dependent)")
     # full-set evaluation: keep the final partial batch (one extra compile)
     dataset, loader = make_loader(args.val_file, args.val_img, shuffle=False,
                                   drop_last=False)

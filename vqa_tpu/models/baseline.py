@@ -38,6 +38,7 @@ class ImageBaselineEncoder(nn.Module):
     s2d_first: bool = False
     conv0_pallas: bool = False
     int8_stages: tuple = ()
+    int8_amax: tuple = ()
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -53,6 +54,7 @@ class ImageBaselineEncoder(nn.Module):
         x = VGG11Encoder(include_head=True, s2d_first=self.s2d_first,
                          conv0_pallas=self.conv0_pallas,
                          int8_stages=self.int8_stages,
+                         int8_amax=self.int8_amax,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats,
                                                skip_features=image_is_features)
@@ -97,6 +99,7 @@ class VQABaselineNet(nn.Module):
     s2d_first: bool = False
     conv0_pallas: bool = False
     int8_stages: tuple = ()
+    int8_amax: tuple = ()
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -107,6 +110,7 @@ class VQABaselineNet(nn.Module):
                                        s2d_first=self.s2d_first,
                                        conv0_pallas=self.conv0_pallas,
                                        int8_stages=self.int8_stages,
+                                       int8_amax=self.int8_amax,
                                        remat=self.remat,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats, image_is_features)

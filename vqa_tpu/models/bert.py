@@ -106,6 +106,7 @@ class VQABertNet(nn.Module):
     s2d_first: bool = False
     conv0_pallas: bool = False
     int8_stages: tuple = ()
+    int8_amax: tuple = ()
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -115,6 +116,7 @@ class VQABertNet(nn.Module):
                                        s2d_first=self.s2d_first,
                                        conv0_pallas=self.conv0_pallas,
                                        int8_stages=self.int8_stages,
+                                       int8_amax=self.int8_amax,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats, image_is_features)
         ques_emb = BertQuestionEncoder(

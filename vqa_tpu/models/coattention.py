@@ -46,6 +46,7 @@ class ImageCoAttentionEncoder(nn.Module):
     s2d_first: bool = False
     conv0_pallas: bool = False
     int8_stages: tuple = ()
+    int8_amax: tuple = ()
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -54,6 +55,7 @@ class ImageCoAttentionEncoder(nn.Module):
         x = VGG11Encoder(include_head=False, s2d_first=self.s2d_first,
                          conv0_pallas=self.conv0_pallas,
                          int8_stages=self.int8_stages,
+                         int8_amax=self.int8_amax,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
         if not self.vgg_trainable:
@@ -222,6 +224,7 @@ class HierarchicalCoAttentionNet(nn.Module):
     s2d_first: bool = False
     conv0_pallas: bool = False
     int8_stages: tuple = ()
+    int8_amax: tuple = ()
     remat: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
@@ -242,6 +245,7 @@ class HierarchicalCoAttentionNet(nn.Module):
                 vgg_trainable=self.vgg_trainable, s2d_first=self.s2d_first,
                 conv0_pallas=self.conv0_pallas,
                 int8_stages=self.int8_stages,
+                int8_amax=self.int8_amax,
                 remat=self.remat, dtype=self.dtype,
                 name="image_encoder")(x_img, train, use_running_stats)
 

@@ -167,6 +167,14 @@ class VGGFeatures(nn.Module):
     # v5e is (2, 3, 4, 5, 6) — conv1 loses (layout overhead at 64ch) and
     # conv7 is a wash (tools/exp_int8_chain.py, BASELINE.md).
     int8_stages: tuple = ()
+    # calibrated per-stage activation amax (Python floats, aligned with
+    # int8_stages). Non-empty => STATIC activation scales: s_x is an XLA
+    # compile-time constant, so quantized features are independent of batch
+    # composition and the per-step global-amax reduction (a DP collective
+    # under a mesh) disappears. Empty => dynamic per-batch scales (the r2
+    # behavior; still used during calibration itself). Produced by
+    # vqa_tpu.train.calibrate and persisted as int8_calib.json per run.
+    int8_amax: tuple = ()
 
     @nn.compact
     def __call__(self, x, use_running_stats: bool = True):
@@ -197,11 +205,27 @@ class VGGFeatures(nn.Module):
                 s = scale * jax.lax.rsqrt(ra_var.value + 1e-5)
                 w_f = (kernel * s).astype(self.dtype)
                 b_f = ((bias - ra_mean.value) * s + bn_bias).astype(self.dtype)
+                # calibration pass (mutable "quant_stats"): record the
+                # running max|input| of every int8 stage; consumed by
+                # vqa_tpu.train.calibrate into static int8_amax constants
+                if conv_idx in self.int8_stages \
+                        and self.is_mutable_collection("quant_stats") \
+                        and not self.is_initializing():
+                    qa = self.variable("quant_stats", f"amax{conv_idx}",
+                                       lambda: jnp.zeros((), jnp.float32))
+                    qa.value = jnp.maximum(
+                        qa.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+                s_x_static = None
+                if conv_idx in self.int8_stages and self.int8_amax:
+                    s_x_static = max(
+                        float(self.int8_amax[self.int8_stages.index(conv_idx)]),
+                        1e-12) / 127.0
                 if first_stage_2x2 and self.conv0_pallas:
                     from ..ops.conv_stage1 import conv0_bn_relu_pool
                     x = conv0_bn_relu_pool(x, jax.lax.stop_gradient(w_f),
                                            jax.lax.stop_gradient(b_f),
-                                           int8=0 in self.int8_stages)
+                                           int8=0 in self.int8_stages,
+                                           s_x=s_x_static)
                     idx += 2                                  # conv + its 'M'
                 elif first_stage_2x2 and self.s2d_first:
                     w4 = _space_to_depth_kernel(w_f)          # [3,3,4C,4*64]
@@ -214,15 +238,18 @@ class VGGFeatures(nn.Module):
                     # int8 PTQ stage (tools/exp_int8_chain.py: 1.4-1.6x over
                     # bf16 at >=128 channels through XLA, chain cost incl.):
                     # per-output-channel symmetric weight scales from the
-                    # BN-folded fp32 weights; dynamic per-batch activation
-                    # scale; int32 accumulate -> fp32 dequant + bias + ReLU
+                    # BN-folded fp32 weights; static calibrated (or dynamic
+                    # per-batch) activation scale; int32 accumulate -> fp32
+                    # dequant + bias + ReLU
                     w32 = kernel * s                          # fp32 [3,3,ci,co]
                     s_w = jnp.maximum(
                         jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
                     w_q = jnp.clip(jnp.round(w32 / s_w), -127, 127) \
                         .astype(jnp.int8)
-                    s_x = jnp.maximum(
-                        jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+                    s_x = s_x_static if s_x_static is not None else \
+                        jnp.maximum(
+                            jnp.max(jnp.abs(x)).astype(jnp.float32),
+                            1e-12) / 127.0
                     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
                                    -127, 127).astype(jnp.int8)
                     acc = jax.lax.conv_general_dilated(
@@ -306,6 +333,7 @@ class VGG11Encoder(nn.Module):
     s2d_first: bool = False
     conv0_pallas: bool = False
     int8_stages: tuple = ()
+    int8_amax: tuple = ()
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -329,6 +357,7 @@ class VGG11Encoder(nn.Module):
             x = features_cls(dtype=self.dtype, s2d_first=self.s2d_first,
                              conv0_pallas=self.conv0_pallas,
                              int8_stages=self.int8_stages,
+                             int8_amax=self.int8_amax,
                              name="features")(x, use_running_stats)
         if self.include_head:
             x = adaptive_avg_pool(x, (7, 7))

@@ -47,13 +47,17 @@ def _xla_reference(x, w, b):
                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def _xla_reference_i8(x, w, b):
+def _xla_reference_i8(x, w, b, s_x=None):
     """int8-PTQ stage 1 via plain XLA — the ``_kernel_i8`` oracle AND the
     off-TPU/unsupported-shape fallback, so ``int8=True`` yields the same
     quantized numerics on every platform (dequant-then-pool == the kernel's
     pool-then-dequant: the scale is positive and the bias per-channel).
+    ``s_x``: calibrated static activation scale (Python float); None =
+    dynamic per-batch amax.
     """
-    s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+    if s_x is None:
+        s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
+                          1e-12) / 127.0
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
                    -127, 127).astype(jnp.int8)
     w32 = w.astype(jnp.float32)
@@ -312,11 +316,14 @@ def _conv0_pallas(x, w, b, variant: str = "bdot", interpret: bool = False):
     return out  # bdot_planar_raw: [B, O, Ho, Wo] for planar-consuming stages
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _conv0_pallas_i8(x, w, b, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "s_x"))
+def _conv0_pallas_i8(x, w, b, interpret: bool = False, s_x=None):
     """int8-PTQ stage 1: quantize image + s2d-rewritten weights, run the
     int8 fused kernel. ``w``/``b`` are the BN-folded weights (any float
-    dtype); output is x.dtype NHWC like the bf16 variant.
+    dtype); output is x.dtype NHWC like the bf16 variant. ``s_x``: static
+    calibrated activation scale (Python float — an XLA constant: the
+    quantize drops its global-amax reduction and results become independent
+    of batch composition); None = dynamic per-batch amax.
     """
     batch, h, _, c = x.shape
     out_ch = w.shape[-1]
@@ -327,9 +334,11 @@ def _conv0_pallas_i8(x, w, b, interpret: bool = False):
     n_seg, r_blk = _pick_blocking(ho, wo, jnp.dtype(x.dtype).itemsize)
     seg = ho // n_seg
 
-    # dynamic per-batch activation scale (normalized images are bounded, but
-    # the dynamic amax also serves arbitrary inputs without clipping)
-    s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+    if s_x is None:
+        # dynamic per-batch activation scale (normalized images are bounded,
+        # but the dynamic amax also serves arbitrary inputs without clipping)
+        s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
+                          1e-12) / 127.0
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
                    -127, 127).astype(jnp.int8)
     xp = _pack_planar_s2d(x_q)                        # int8 planes
@@ -372,7 +381,7 @@ def _on_tpu() -> bool:
 
 
 @functools.lru_cache()
-def _partitioned_conv0(variant: str, interpret: bool):
+def _partitioned_conv0(variant: str, interpret: bool, s_x=None):
     """GSPMD-aware wrapper: shard over batch, never gather around the kernel.
 
     ``pl.pallas_call`` has no SPMD partitioning rule, so under a jit-GSPMD
@@ -389,7 +398,7 @@ def _partitioned_conv0(variant: str, interpret: bool):
 
     def call(x, w, b):
         if variant == "i8":
-            return _conv0_pallas_i8(x, w, b, interpret=interpret)
+            return _conv0_pallas_i8(x, w, b, interpret=interpret, s_x=s_x)
         return _conv0_pallas(x, w, b, variant=variant, interpret=interpret)
 
     fn = custom_partitioning(call)
@@ -419,7 +428,8 @@ def _partitioned_conv0(variant: str, interpret: bool):
 
 
 def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
-                       variant: str = "bdot", int8: bool = False):
+                       variant: str = "bdot", int8: bool = False,
+                       s_x: float | None = None):
     """Stage-1 VGG block: conv3x3(pad1) + (folded-BN) bias + ReLU + maxpool2x2.
 
     x [B, H, W, C], w [3, 3, C, O], b [O] -> [B, H/2, W/2, O]. BN must already
@@ -429,7 +439,8 @@ def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
     interpreter mode. ``variant``: 'bdot' (the default: R-batched dots,
     NHWC epilogue) | '2d' (one large matmul per row block) | 'bdot_planar' |
     'bdot_planar_raw' | '2dw' (kept for A/B — all measured slower, see
-    BASELINE.md).
+    BASELINE.md). ``s_x``: static calibrated activation scale for the int8
+    path (Python float; None = dynamic per-batch amax).
     """
     b_, h, wd, c = x.shape
     supported = (w.shape[:2] == (3, 3) and h % 2 == 0 and wd % 2 == 0
@@ -438,9 +449,10 @@ def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
         # int8 requests keep int8 numerics on the fallback path too, so the
         # same --int8_backbone config computes the same values on every
         # platform (feature caches built off-TPU stay valid on-TPU)
-        return _xla_reference_i8(x, w, b) if int8 else _xla_reference(x, w, b)
+        return _xla_reference_i8(x, w, b, s_x=s_x) if int8 \
+            else _xla_reference(x, w, b)
     if not supported:
         raise ValueError(f"unsupported stage-1 shape: x{x.shape} w{w.shape}")
     if int8:
         variant = "i8"  # int8-PTQ kernel (--int8_backbone; see _kernel_i8)
-    return _partitioned_conv0(variant, not _on_tpu())(x, w, b)
+    return _partitioned_conv0(variant, not _on_tpu(), s_x)(x, w, b)

@@ -74,6 +74,18 @@ class VQAPredictor:
         self.model, cfg = build_model(model_name, vocab.size, num_classes,
                                       opt_lvl=opt_lvl, use_pallas=use_pallas,
                                       int8_backbone=int8_backbone)
+        if self.model.int8_stages and checkpoint:
+            # serve with the checkpoint's training-time static quantization
+            # scales when the run dir carries the calibration sidecar
+            from .train.calibrate import load_calib
+            amax = load_calib(os.path.dirname(os.path.abspath(checkpoint)),
+                              self.model.int8_stages)
+            if amax is not None:
+                self.model = self.model.clone(int8_amax=amax)
+            else:
+                print("NOTE: no int8_calib.json next to the checkpoint; "
+                      "int8 stages use dynamic per-batch activation scales "
+                      "(predictions depend on batch composition)")
         self.image_size = image_size or cfg.image_size
         self.preprocess = make_image_preprocessor(self.image_size)
 
