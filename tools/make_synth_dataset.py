@@ -1,20 +1,30 @@
-"""Deterministic synthetic VQA dataset for cross-framework accuracy parity.
+"""Deterministic synthetic VQA datasets for cross-framework accuracy parity.
 
 Generates real JPEG files on disk plus reference-contract dataset artifacts
-(BASELINE.json config 1: 10k-pair K=2 slice) so the torch reference and
-vqa_tpu train on the *same* files end-to-end:
+so the torch reference and vqa_tpu train on the *same* files end-to-end:
 
-- imgs/synth_<i>.jpg: textured two-tone images; the answer is "yes" iff the
-  mean red channel exceeds the mean blue channel (image-determined labels,
-  so accuracy exercises the vision path, not question priors);
-- train.txt / val.txt in the reference's `img \t q,tokens \t ans` format,
-  questions drawn from answer-independent templates;
-- vocab.pkl via vqa_tpu.vocab.save_vocab (reference pickle contract);
+- imgs/synth_<i>.jpg images; train.txt / val.txt in the reference's
+  `img \t q,tokens \t ans` format; vocab.pkl via vqa_tpu.vocab.save_vocab
+  (reference pickle contract);
 - vgg11_bn_synth.pth: a random-init state_dict with torchvision
   ``vgg11_bn``'s exact key set, loadable by BOTH frameworks via
   --vgg_wts_path (no pretrained download exists in this environment).
 
-Usage: python tools/make_synth_dataset.py --out_dir /tmp/synthvqa
+Two tasks (``--task``):
+
+- ``redblue`` (BASELINE.json config 1: K=2): textured two-tone images; the
+  answer is "yes" iff mean(R) > mean(B). Both frameworks ace this (99%+) —
+  good for exact parity, no resolution for precision drift.
+- ``grid`` (the r3 drift benchmark): each image is a 3x3 grid of colored
+  cells (12-color palette) over noise/texture; each question names a grid
+  position ("what,color,is,the,bottom,left,cell") and the answer is that
+  cell's color — K=12, image x question JOINT reasoning (the same image
+  carries up to 9 different answers), tuned so models land mid-band
+  (60-90%) where a 1-2pp precision regression is visible. Difficulty
+  knobs: --noise (pixel noise sigma), --cell_fill (colored fraction of
+  each cell).
+
+Usage: python tools/make_synth_dataset.py --out_dir /tmp/synthvqa [--task grid]
 """
 
 from __future__ import annotations
@@ -55,6 +65,85 @@ def make_image(rng: np.random.Generator, size: int) -> tuple[np.ndarray, str]:
     img = np.clip(img, 0, 255).astype(np.uint8)
     answer = "yes" if img[..., 0].mean() > img[..., 2].mean() else "no"
     return img, answer
+
+
+GRID_COLORS = {  # 12 names -> RGB; includes near pairs (red/pink/orange,
+    "red": (220, 40, 40),     # blue/cyan/purple, white/gray) so precision
+    "green": (40, 200, 60),   # loss has somewhere to show up
+    "blue": (40, 80, 220),
+    "yellow": (230, 220, 50),
+    "purple": (150, 50, 200),
+    "orange": (240, 140, 30),
+    "white": (235, 235, 235),
+    "black": (25, 25, 25),
+    "pink": (240, 150, 190),
+    "brown": (130, 80, 40),
+    "gray": (128, 128, 128),
+    "cyan": (60, 210, 220),
+}
+
+GRID_POS = {(0, 0): "top,left", (0, 1): "top,middle", (0, 2): "top,right",
+            (1, 0): "middle,left", (1, 1): "center", (1, 2): "middle,right",
+            (2, 0): "bottom,left", (2, 1): "bottom,middle",
+            (2, 2): "bottom,right"}
+
+GRID_TEMPLATES = [
+    "what,color,is,the,{pos},cell",
+    "which,color,fills,the,{pos},cell",
+    "tell,me,the,color,of,the,{pos},cell",
+    "the,{pos},cell,is,what,color",
+]
+
+
+def make_grid_image(rng: np.random.Generator, size: int, noise: float,
+                    cell_fill: float):
+    """3x3 colored-cell image; returns (image, {(r,c): color_name})."""
+    img = rng.uniform(90, 150, (size, size, 3)).astype(np.float32)
+    # low-frequency background texture
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    for c in range(3):
+        img[..., c] += 25 * np.sin(2 * np.pi * (rng.uniform(1, 3) * xx
+                                                + rng.uniform(1, 3) * yy))
+    names = list(GRID_COLORS)
+    cells = {}
+    cell = size // 3
+    pad = int(cell * (1 - cell_fill) / 2)
+    for r in range(3):
+        for c in range(3):
+            name = names[rng.integers(0, len(names))]
+            cells[(r, c)] = name
+            col = np.asarray(GRID_COLORS[name], np.float32)
+            col = col * rng.uniform(0.85, 1.15)          # brightness jitter
+            y0, x0 = r * cell + pad, c * cell + pad
+            y1, x1 = (r + 1) * cell - pad, (c + 1) * cell - pad
+            img[y0:y1, x0:x1] = col
+    img += rng.normal(0, noise, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8), cells
+
+
+def generate_grid(args, rng):
+    """The K=12 grid-color task: per-question answers from one image."""
+    from PIL import Image
+
+    n_images = (args.n_train + args.n_val) // args.questions_per_image
+    positions = list(GRID_POS)
+    pairs = []
+    for i in range(n_images):
+        img, cells = make_grid_image(rng, args.size, args.noise,
+                                     args.cell_fill)
+        name = f"synth_{i:06d}.jpg"
+        Image.fromarray(img).save(os.path.join(args.out_dir, "imgs", name),
+                                  quality=args.jpeg_quality)
+        # distinct positions per image: the same image must answer
+        # differently per question (joint reasoning, not an image prior)
+        ps = rng.permutation(len(positions))[:args.questions_per_image]
+        for p in ps:
+            pos = positions[p]
+            t = GRID_TEMPLATES[rng.integers(0, len(GRID_TEMPLATES))]
+            q = t.format(pos=GRID_POS[pos])
+            pairs.append((name, q, cells[pos]))
+    rng.shuffle(pairs)
+    return pairs
 
 
 def write_split(path, pairs):
@@ -109,6 +198,11 @@ def main():
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--jpeg_quality", type=int, default=88)
+    ap.add_argument("--task", choices=["redblue", "grid"], default="redblue")
+    ap.add_argument("--noise", type=float, default=25.0,
+                    help="grid task: pixel noise sigma (difficulty knob)")
+    ap.add_argument("--cell_fill", type=float, default=0.7,
+                    help="grid task: colored fraction of each cell side")
     args = ap.parse_args()
 
     from PIL import Image
@@ -116,39 +210,48 @@ def main():
     os.makedirs(os.path.join(args.out_dir, "imgs"), exist_ok=True)
     rng = np.random.default_rng(args.seed)
 
-    n_images = (args.n_train + args.n_val) // args.questions_per_image
-    names, answers = [], []
-    for i in range(n_images):
-        img, ans = make_image(rng, args.size)
-        name = f"synth_{i:06d}.jpg"
-        Image.fromarray(img).save(os.path.join(args.out_dir, "imgs", name),
-                                  quality=args.jpeg_quality)
-        # re-decode: the label must reflect what trainers actually see
-        back = np.asarray(Image.open(os.path.join(args.out_dir, "imgs", name)))
-        answers.append("yes" if back[..., 0].mean() > back[..., 2].mean() else "no")
-        names.append(name)
+    if args.task == "grid":
+        pairs = generate_grid(args, rng)
+        K = len(GRID_COLORS)
+        n_images = (args.n_train + args.n_val) // args.questions_per_image
+    else:
+        n_images = (args.n_train + args.n_val) // args.questions_per_image
+        names, answers = [], []
+        for i in range(n_images):
+            img, ans = make_image(rng, args.size)
+            name = f"synth_{i:06d}.jpg"
+            Image.fromarray(img).save(
+                os.path.join(args.out_dir, "imgs", name),
+                quality=args.jpeg_quality)
+            # re-decode: the label must reflect what trainers actually see
+            back = np.asarray(Image.open(os.path.join(args.out_dir, "imgs", name)))
+            answers.append("yes" if back[..., 0].mean() > back[..., 2].mean()
+                           else "no")
+            names.append(name)
 
-    pairs = []
-    for i, (name, ans) in enumerate(zip(names, answers)):
-        for _ in range(args.questions_per_image):
-            q = TEMPLATES[rng.integers(0, len(TEMPLATES))]
-            pairs.append((name, q, ans))
-    rng.shuffle(pairs)
+        pairs = []
+        for i, (name, ans) in enumerate(zip(names, answers)):
+            for _ in range(args.questions_per_image):
+                q = TEMPLATES[rng.integers(0, len(TEMPLATES))]
+                pairs.append((name, q, ans))
+        rng.shuffle(pairs)
+        K = 2
     train, val = pairs[:args.n_train], pairs[args.n_train:args.n_train + args.n_val]
     write_split(os.path.join(args.out_dir, "train.txt"), train)
     write_split(os.path.join(args.out_dir, "val.txt"), val)
 
     from vqa_tpu.vocab import save_vocab
     save_vocab(os.path.join(args.out_dir, "train.txt"),
-               os.path.join(args.out_dir, "vocab.pkl"), min_word_count=1, K=2)
+               os.path.join(args.out_dir, "vocab.pkl"), min_word_count=1, K=K)
 
     import torch
     torch.save(make_vgg11_bn_state_dict(args.seed),
                os.path.join(args.out_dir, "vgg11_bn_synth.pth"))
 
-    ys = sum(1 for _, _, a in train if a == "yes")
-    print(f"{args.out_dir}: {len(train)} train / {len(val)} val pairs over "
-          f"{n_images} JPEGs; train yes-rate {ys / len(train):.3f}")
+    from collections import Counter
+    top = Counter(a for _, _, a in train).most_common(3)
+    print(f"{args.out_dir}: task={args.task} {len(train)} train / {len(val)} "
+          f"val pairs over {n_images} JPEGs; top answers {top}")
 
 
 if __name__ == "__main__":

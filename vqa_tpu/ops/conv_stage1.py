@@ -442,7 +442,12 @@ def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
     BASELINE.md). ``s_x``: static calibrated activation scale for the int8
     path (Python float; None = dynamic per-batch amax).
     """
+    import os
     b_, h, wd, c = x.shape
+    # VQA_CONV0_FORCE=pallas|xla: trace-time override for paths that call
+    # through the model (no force kwarg) — used by dryrun_multichip to
+    # exercise the custom-partitioned kernel (interpret mode) on a CPU mesh
+    force = force or os.environ.get("VQA_CONV0_FORCE") or None
     supported = (w.shape[:2] == (3, 3) and h % 2 == 0 and wd % 2 == 0
                  and _pick_blocking(h // 2, wd // 2) is not None)
     if force == "xla" or (force != "pallas" and not (supported and _on_tpu())):
