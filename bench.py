@@ -72,7 +72,7 @@ def bench_decode():
     paths = (paths * 3)[:600]
 
     rates = {}
-    for backend in ("pil", "native"):
+    for backend in ("pil", "native", "native_mp"):
         decode_batch(paths[:32], 224, backend=backend,
                      native_threads=workers)  # warm
         t0 = time.perf_counter()
@@ -85,6 +85,7 @@ def bench_decode():
         "value": round(rates["native"], 2),
         "unit": "images_per_sec",
         "pil_images_per_sec": round(rates["pil"], 2),
+        "native_mp_images_per_sec": round(rates["native_mp"], 2),
         "vs_baseline": round(rates["native"] / rates["pil"], 3),
     }))
 
@@ -121,7 +122,9 @@ def bench_pipeline(model_name: str, batch: int, steps: int, use_pallas: bool,
     # disk JPEGs are 224^2: host passes them through untouched (uint8 H2D is
     # 4x lighter than f32) and the jitted preprocess resizes on device
     loader = DataLoader(samples, batch, host_size=224, num_workers=workers,
-                        seed=0, drop_last=True)
+                        seed=0, drop_last=True,
+                        decode_backend=os.environ.get("BENCH_DECODE_BACKEND",
+                                                      "auto"))
 
     init = {"image": preprocess(np.zeros((1, 224, 224, 3), np.uint8)),
             "question": jnp.zeros((1, vocab.max_seq_length), jnp.int32),

@@ -53,3 +53,10 @@ class TestNativeDecoder:
         out = decode_batch(paths, 64, backend="auto", synthetic_fallback=True)
         assert out.shape == (3, 64, 64, 3)
         assert out[2].max() > 0  # synthetic image substituted
+
+    def test_native_mp_backend_matches_native(self, jpegs):
+        """The fork process-pool backend returns the same bytes as the
+        threaded native decoder (same codepath per worker)."""
+        mp_out = decode_batch(jpegs, 128, backend="native_mp", native_threads=2)
+        th_out = decode_batch(jpegs, 128, backend="native", native_threads=2)
+        assert (mp_out == th_out).all()

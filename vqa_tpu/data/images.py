@@ -58,15 +58,43 @@ def decode_image(path: str, host_size: int, synthetic_fallback: bool = False) ->
         return np.asarray(im, dtype=np.uint8)
 
 
+_MP_POOL = None       # lazy fork pool for backend='native_mp'
+_MP_POOL_SIZE = 0
+
+
+def _mp_decode_chunk(args):
+    """Process-pool worker: decode a path chunk with the native decoder
+    (single in-process thread; parallelism comes from the pool)."""
+    paths, host_size, synthetic_fallback = args
+    return decode_batch(paths, host_size, synthetic_fallback=synthetic_fallback,
+                        backend="auto", native_threads=1)
+
+
 def decode_batch(paths: list[str], host_size: int, pool=None,
                  synthetic_fallback: bool = False,
                  backend: str = "auto", native_threads: int = 8) -> np.ndarray:
     """Decode a batch of images to uint8 [N, S, S, 3].
 
     ``backend``: 'native' (C++ thread-pool decoder, vqa_tpu.native), 'pil',
-    or 'auto' (native when built + all paths are .jpg, else PIL). Failed
-    native decodes fall back per-image to PIL/synthetic.
+    'native_mp' (a fork process pool of single-threaded native decoders —
+    the torch-DataLoader-style worker model, kept for the thread-vs-process
+    A/B; threads won on the measured host, BASELINE.md r3), or 'auto'
+    (native when built + all paths are .jpg, else PIL). Failed native
+    decodes fall back per-image to PIL/synthetic.
     """
+    if backend == "native_mp":
+        global _MP_POOL, _MP_POOL_SIZE
+        import multiprocessing as mp
+        n = max(native_threads, 1)
+        if _MP_POOL is None or _MP_POOL_SIZE != n:
+            if _MP_POOL is not None:
+                _MP_POOL.terminate()
+            _MP_POOL = mp.get_context("fork").Pool(n)
+            _MP_POOL_SIZE = n
+        chunk = -(-len(paths) // n)
+        chunks = [(paths[i:i + chunk], host_size, synthetic_fallback)
+                  for i in range(0, len(paths), chunk)]
+        return np.concatenate(_MP_POOL.map(_mp_decode_chunk, chunks))
     if backend in ("auto", "native"):
         from ..native import decode_batch_native, native_available
 

@@ -101,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
     # Misc params (main.py:76)
     parser.add_argument("--num_workers", type=int, default=1,
                         help="number of worker threads for host image decode")
+    parser.add_argument("--decode_backend", type=str, default="auto",
+                        choices=["auto", "native", "pil", "native_mp"],
+                        help="host JPEG decode engine: auto = native C++ "
+                             "thread pool when built; native_mp = process "
+                             "pool of native decoders (torch-DataLoader "
+                             "worker model; wins on hosts where threads "
+                             "contend, BASELINE.md r3)")
 
     # --- TPU-native extensions (not in the reference) ---
     parser.add_argument("--num_devices", type=int, default=1,
@@ -314,6 +321,7 @@ def main(argv=None):
                             num_workers=args.num_workers, seed=args.seed,
                             synthetic_images=args.synthetic_images,
                             shard_index=shard_index, num_shards=num_shards,
+                            decode_backend=args.decode_backend,
                             feature_cache=feature_cache)
         return samples, loader
 
@@ -432,6 +440,7 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
                 batch_size=args.batch_size, host_size=host_size,
                 num_workers=args.num_workers,
                 synthetic_images=args.synthetic_images,
+                decode_backend=args.decode_backend,
                 log=lambda s: print_and_log(s, log_file))
 
         # Multi-host note: concurrent builds are SAFE (pid-unique tmp files +
