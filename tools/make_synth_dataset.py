@@ -82,10 +82,13 @@ GRID_COLORS = {  # 12 names -> RGB; includes near pairs (red/pink/orange,
     "cyan": (60, 210, 220),
 }
 
-GRID_POS = {(0, 0): "top,left", (0, 1): "top,middle", (0, 2): "top,right",
-            (1, 0): "middle,left", (1, 1): "center", (1, 2): "middle,right",
-            (2, 0): "bottom,left", (2, 1): "bottom,middle",
-            (2, 2): "bottom,right"}
+GRID_POS_3 = {(0, 0): "top,left", (0, 1): "top,middle", (0, 2): "top,right",
+              (1, 0): "middle,left", (1, 1): "center", (1, 2): "middle,right",
+              (2, 0): "bottom,left", (2, 1): "bottom,middle",
+              (2, 2): "bottom,right"}
+
+GRID_POS_2 = {(0, 0): "top,left", (0, 1): "top,right",
+              (1, 0): "bottom,left", (1, 1): "bottom,right"}
 
 GRID_TEMPLATES = [
     "what,color,is,the,{pos},cell",
@@ -96,21 +99,20 @@ GRID_TEMPLATES = [
 
 
 def make_grid_image(rng: np.random.Generator, size: int, noise: float,
-                    cell_fill: float):
-    """3x3 colored-cell image; returns (image, {(r,c): color_name})."""
+                    cell_fill: float, n: int, colors: list[str]):
+    """n x n colored-cell image; returns (image, {(r,c): color_name})."""
     img = rng.uniform(90, 150, (size, size, 3)).astype(np.float32)
     # low-frequency background texture
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     for c in range(3):
         img[..., c] += 25 * np.sin(2 * np.pi * (rng.uniform(1, 3) * xx
                                                 + rng.uniform(1, 3) * yy))
-    names = list(GRID_COLORS)
     cells = {}
-    cell = size // 3
+    cell = size // n
     pad = int(cell * (1 - cell_fill) / 2)
-    for r in range(3):
-        for c in range(3):
-            name = names[rng.integers(0, len(names))]
+    for r in range(n):
+        for c in range(n):
+            name = colors[rng.integers(0, len(colors))]
             cells[(r, c)] = name
             col = np.asarray(GRID_COLORS[name], np.float32)
             col = col * rng.uniform(0.85, 1.15)          # brightness jitter
@@ -122,25 +124,30 @@ def make_grid_image(rng: np.random.Generator, size: int, noise: float,
 
 
 def generate_grid(args, rng):
-    """The K=12 grid-color task: per-question answers from one image."""
+    """The K>=10 grid-color task: per-question answers from one image."""
     from PIL import Image
 
     n_images = (args.n_train + args.n_val) // args.questions_per_image
-    positions = list(GRID_POS)
+    pos_map = GRID_POS_2 if args.grid_n == 2 else GRID_POS_3
+    colors = list(GRID_COLORS)[:args.n_colors]
+    positions = list(pos_map)
     pairs = []
     for i in range(n_images):
         img, cells = make_grid_image(rng, args.size, args.noise,
-                                     args.cell_fill)
+                                     args.cell_fill, args.grid_n, colors)
         name = f"synth_{i:06d}.jpg"
         Image.fromarray(img).save(os.path.join(args.out_dir, "imgs", name),
                                   quality=args.jpeg_quality)
-        # distinct positions per image: the same image must answer
-        # differently per question (joint reasoning, not an image prior)
-        ps = rng.permutation(len(positions))[:args.questions_per_image]
-        for p in ps:
-            pos = positions[p]
+        # positions per image: the same image must answer differently per
+        # question (joint reasoning, not an image prior); repeat positions
+        # (different templates) when q-per-image exceeds the cell count
+        ps = [positions[p] for p in
+              rng.permutation(len(positions))[:args.questions_per_image]]
+        while len(ps) < args.questions_per_image:
+            ps.append(positions[rng.integers(0, len(positions))])
+        for pos in ps:
             t = GRID_TEMPLATES[rng.integers(0, len(GRID_TEMPLATES))]
-            q = t.format(pos=GRID_POS[pos])
+            q = t.format(pos=pos_map[pos])
             pairs.append((name, q, cells[pos]))
     rng.shuffle(pairs)
     return pairs
@@ -203,6 +210,10 @@ def main():
                     help="grid task: pixel noise sigma (difficulty knob)")
     ap.add_argument("--cell_fill", type=float, default=0.7,
                     help="grid task: colored fraction of each cell side")
+    ap.add_argument("--grid_n", type=int, default=3, choices=[2, 3],
+                    help="grid task: cells per side (4 or 9 positions)")
+    ap.add_argument("--n_colors", type=int, default=12,
+                    help="grid task: palette size (answer classes)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -212,7 +223,7 @@ def main():
 
     if args.task == "grid":
         pairs = generate_grid(args, rng)
-        K = len(GRID_COLORS)
+        K = args.n_colors
         n_images = (args.n_train + args.n_val) // args.questions_per_image
     else:
         n_images = (args.n_train + args.n_val) // args.questions_per_image

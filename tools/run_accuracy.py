@@ -99,7 +99,11 @@ def main():
         cmd = [sys.executable, "-m", "vqa_tpu.main"] + common + [
             "--num_workers", "4", "--decode_backend", "native_mp",
             "--bn_mode", args.bn_mode, "--int8_backbone", args.int8]
-        proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        env = dict(os.environ)
+        # persistent XLA compile cache: matrix runs share compilations
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+        proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                              env=env)
         out = proc.stdout + proc.stderr
         if proc.returncode != 0:
             sys.stderr.write(out[-4000:])
