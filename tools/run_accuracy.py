@@ -55,13 +55,19 @@ def main():
     ap.add_argument("--bn_mode", default="auto",
                     help="tpu only; 'batch' reproduces the reference quirk")
     ap.add_argument("--int8", default="auto", help="tpu only")
+    ap.add_argument("--vgg_train", default="false",
+                    help="train the backbone end-to-end (both frameworks)")
+    ap.add_argument("--vgg_wts", default="vgg11_bn_synth.pth",
+                    help="weights file inside data_dir (--vgg_wts_path)")
+    ap.add_argument("--save_interval", type=int, default=1000000)
     ap.add_argument("--run_name", default=None)
     ap.add_argument("--expt_dir", default=None)
     args = ap.parse_args()
 
     d = args.data_dir
     run = args.run_name or f"{args.framework}_o{args.opt_lvl}_i{args.int8}" \
-        f"_bn{args.bn_mode}_e{args.epochs}"
+        f"_bn{args.bn_mode}_e{args.epochs}" \
+        + ("_vt" if args.vgg_train == "true" else "")
     expt = args.expt_dir or os.path.join(d, "expts")
     n_val = sum(1 for _ in open(os.path.join(d, "val.txt")))
     common = [
@@ -78,9 +84,9 @@ def main():
         "--learning_rate", str(args.lr),
         "--opt_lvl", str(args.opt_lvl),
         # epoch-end full-val only: log_interval beyond any step count
-        "--log_interval", "100000", "--save_interval", "1000000",
-        "--val_size", str(n_val),
-        "--vgg_wts_path", os.path.join(d, "vgg11_bn_synth.pth"),
+        "--log_interval", "100000", "--save_interval", str(args.save_interval),
+        "--val_size", str(n_val), "--vgg_train", args.vgg_train,
+        "--vgg_wts_path", os.path.join(d, args.vgg_wts),
     ]
     t0 = time.time()
     if args.framework == "ref":
