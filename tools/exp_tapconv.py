@@ -134,6 +134,9 @@ def ref_i8(x, w, b, s_x=4.0 / 127.0):
 def main():
     import numpy as np
     if os.environ.get("EXP_CHECK"):
+        # CPU correctness check: the axon sitecustomize re-registers the TPU
+        # backend even under JAX_PLATFORMS=cpu; force CPU before first use
+        jax.config.update("jax_platforms", "cpu")
         x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(0),
                                           (2, 16, 16, 8)))
         w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 16)) * 0.1

@@ -60,6 +60,13 @@ def main():
     ap.add_argument("--vgg_wts", default="vgg11_bn_synth.pth",
                     help="weights file inside data_dir (--vgg_wts_path)")
     ap.add_argument("--save_interval", type=int, default=1000000)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="tpu only: init/shuffle seed (seed-noise control "
+                         "rows for the drift ladder)")
+    ap.add_argument("--host_size", type=int, default=0,
+                    help="tpu only: host decode size (device resizes to the "
+                         "model size); 224 avoids 4x decode cost + H2D for "
+                         "the 448-input attention model on 224 source JPEGs")
     ap.add_argument("--run_name", default=None)
     ap.add_argument("--expt_dir", default=None)
     args = ap.parse_args()
@@ -67,7 +74,8 @@ def main():
     d = args.data_dir
     run = args.run_name or f"{args.framework}_o{args.opt_lvl}_i{args.int8}" \
         f"_bn{args.bn_mode}_e{args.epochs}" \
-        + ("_vt" if args.vgg_train == "true" else "")
+        + ("_vt" if args.vgg_train == "true" else "") \
+        + (f"_s{args.seed}" if args.seed else "")
     expt = args.expt_dir or os.path.join(d, "expts")
     n_val = sum(1 for _ in open(os.path.join(d, "val.txt")))
     common = [
@@ -105,6 +113,10 @@ def main():
         cmd = [sys.executable, "-m", "vqa_tpu.main"] + common + [
             "--num_workers", "4", "--decode_backend", "native_mp",
             "--bn_mode", args.bn_mode, "--int8_backbone", args.int8]
+        if args.host_size:
+            cmd += ["--host_size", str(args.host_size)]
+        if args.seed:
+            cmd += ["--seed", str(args.seed)]
         env = dict(os.environ)
         # persistent XLA compile cache: matrix runs share compilations
         env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
