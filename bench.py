@@ -201,9 +201,13 @@ def main():
     from vqa_tpu.train.state import create_train_state, make_optimizer
     from vqa_tpu.train.steps import make_train_step
 
+    # BENCH_INT8 unset -> None = the model's own default policy (so a
+    # default-on decision at a given opt_lvl shows up in the headline bench);
+    # BENCH_INT8=1/0 forces it either way.
     model, _ = build_model(model_name, vocab_size, num_classes, opt_lvl=1,
                            use_pallas=use_pallas, conv0_pallas=conv0_pallas,
-                           int8_backbone=os.environ.get("BENCH_INT8") == "1")
+                           int8_backbone=None if "BENCH_INT8" not in os.environ
+                           else os.environ["BENCH_INT8"] == "1")
 
     rng = jax.random.PRNGKey(0)
     img = jax.random.normal(rng, (batch, image_size, image_size, 3), jnp.float32)

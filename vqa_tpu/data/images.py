@@ -58,16 +58,65 @@ def decode_image(path: str, host_size: int, synthetic_fallback: bool = False) ->
         return np.asarray(im, dtype=np.uint8)
 
 
-_MP_POOL = None       # lazy fork pool for backend='native_mp'
+_MP_POOL = None       # lazy subprocess pool for backend='native_mp'
 _MP_POOL_SIZE = 0
 
 
-def _mp_decode_chunk(args):
-    """Process-pool worker: decode a path chunk with the native decoder
-    (single in-process thread; parallelism comes from the pool)."""
-    paths, host_size, synthetic_fallback = args
-    return decode_batch(paths, host_size, synthetic_fallback=synthetic_fallback,
-                        backend="auto", native_threads=1)
+class _SubprocPool:
+    """Persistent decode-worker subprocesses (see data/_decode_worker.py).
+
+    Replaces a ``multiprocessing`` pool on purpose: fork inherits the
+    parent's (jax/axon) locks mid-flight and can deadlock; spawn/forkserver
+    re-execute the parent's ``__main__`` per worker. Plain subprocesses
+    running a known entrypoint have neither failure mode.
+    """
+
+    _CMD = "from vqa_tpu.data._decode_worker import serve; serve()"
+
+    def __init__(self, n: int):
+        import subprocess
+        import sys
+
+        self.procs = [
+            subprocess.Popen([sys.executable, "-c", self._CMD],
+                             stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+            for _ in range(n)
+        ]
+
+    def decode(self, chunks, host_size: int, synth: bool) -> np.ndarray:
+        # write all (small) requests first, then read the (large) replies:
+        # workers fully read a request before replying, so this cannot
+        # pipe-deadlock (see the protocol note in _decode_worker.py)
+        sent = []
+        for proc, paths in zip(self.procs, chunks):
+            req = b"REQ %d %d %d\n" % (len(paths), host_size, int(synth))
+            req += b"".join(p.encode() + b"\n" for p in paths)
+            proc.stdin.write(req)
+            proc.stdin.flush()
+            sent.append(proc)
+        outs = []
+        for proc in sent:
+            hdr = proc.stdout.readline()
+            if hdr.startswith(b"OK"):
+                _, n_imgs, size = hdr.split()
+                n_imgs, size = int(n_imgs), int(size)
+                buf = proc.stdout.read(n_imgs * size * size * 3)
+                outs.append(np.frombuffer(buf, np.uint8)
+                            .reshape(n_imgs, size, size, 3))
+            elif hdr.startswith(b"ERR"):
+                msg = proc.stdout.read(int(hdr.split()[1])).decode()
+                raise RuntimeError(f"decode worker error: {msg}")
+            else:
+                raise RuntimeError("decode worker died (empty reply)")
+        return np.concatenate(outs)
+
+    def terminate(self) -> None:
+        for proc in self.procs:
+            try:
+                proc.stdin.close()
+                proc.terminate()
+            except Exception:
+                pass
 
 
 def decode_batch(paths: list[str], host_size: int, pool=None,
@@ -76,25 +125,30 @@ def decode_batch(paths: list[str], host_size: int, pool=None,
     """Decode a batch of images to uint8 [N, S, S, 3].
 
     ``backend``: 'native' (C++ thread-pool decoder, vqa_tpu.native), 'pil',
-    'native_mp' (a fork process pool of single-threaded native decoders —
-    the torch-DataLoader-style worker model, kept for the thread-vs-process
-    A/B; threads won on the measured host, BASELINE.md r3), or 'auto'
+    'native_mp' (a spawned process pool of single-threaded native decoders —
+    the torch-DataLoader-style worker model; won the thread-vs-process A/B
+    on the measured bursty-quota host, BASELINE.md r3), or 'auto'
     (native when built + all paths are .jpg, else PIL). Failed native
     decodes fall back per-image to PIL/synthetic.
     """
     if backend == "native_mp":
         global _MP_POOL, _MP_POOL_SIZE
-        import multiprocessing as mp
         n = max(native_threads, 1)
         if _MP_POOL is None or _MP_POOL_SIZE != n:
             if _MP_POOL is not None:
                 _MP_POOL.terminate()
-            _MP_POOL = mp.get_context("fork").Pool(n)
+            _MP_POOL = _SubprocPool(n)
             _MP_POOL_SIZE = n
         chunk = -(-len(paths) // n)
-        chunks = [(paths[i:i + chunk], host_size, synthetic_fallback)
-                  for i in range(0, len(paths), chunk)]
-        return np.concatenate(_MP_POOL.map(_mp_decode_chunk, chunks))
+        chunks = [paths[i:i + chunk] for i in range(0, len(paths), chunk)]
+        try:
+            return _MP_POOL.decode(chunks, host_size, synthetic_fallback)
+        except Exception:
+            # a dead/poisoned pool is not reusable: drop it so the next
+            # call restarts fresh workers, then surface the error
+            _MP_POOL.terminate()
+            _MP_POOL = None
+            raise
     if backend in ("auto", "native"):
         from ..native import decode_batch_native, native_available
 

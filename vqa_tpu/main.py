@@ -27,6 +27,16 @@ import argparse
 import os
 
 import jax
+
+# Honor an explicitly-set JAX_PLATFORMS env var. On axon-tunnel machines a
+# sitecustomize re-registers the TPU backend and clobbers the env var's
+# platform selection, so ``JAX_PLATFORMS=cpu python -m vqa_tpu.main`` (the
+# documented CPU smoke-run recipe) silently lands on the TPU; re-asserting
+# the user's choice through the config API before first device use restores
+# the standard jax contract. No-op when the var is unset.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -23,6 +23,12 @@ import json
 import os
 
 import jax
+
+# honor an explicitly-set JAX_PLATFORMS (the axon sitecustomize clobbers the
+# env var's platform choice; same contract restoration as main.py)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
