@@ -55,8 +55,24 @@ class TestNativeDecoder:
         assert out[2].max() > 0  # synthetic image substituted
 
     def test_native_mp_backend_matches_native(self, jpegs):
-        """The fork process-pool backend returns the same bytes as the
+        """The subprocess-pool backend returns the same bytes as the
         threaded native decoder (same codepath per worker)."""
         mp_out = decode_batch(jpegs, 128, backend="native_mp", native_threads=2)
         th_out = decode_batch(jpegs, 128, backend="native", native_threads=2)
         assert (mp_out == th_out).all()
+
+    def test_native_mp_error_then_recovery(self, jpegs):
+        """A worker-reported error surfaces as RuntimeError and poisons the
+        pool; the next call respawns workers and succeeds (images.py
+        decode_batch drops _MP_POOL on failure)."""
+        import pytest
+
+        from vqa_tpu.data import images
+
+        with pytest.raises(RuntimeError, match="decode worker"):
+            decode_batch([jpegs[0], "/nonexistent/x.jpg"], 64,
+                         backend="native_mp", native_threads=2,
+                         synthetic_fallback=False)
+        assert images._MP_POOL is None  # poisoned pool dropped
+        out = decode_batch(jpegs, 64, backend="native_mp", native_threads=2)
+        assert out.shape == (len(jpegs), 64, 64, 3)
