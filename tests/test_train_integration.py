@@ -304,7 +304,10 @@ class TestTestMode:
         log_dir = os.path.join(expt, "e", "r")
         calib = json.load(open(os.path.join(log_dir, "int8_calib.json")))
         assert calib["stages"] == [0, 2, 3, 4, 5, 6]
-        assert len(calib["amax"]) == 6 and all(a > 0 for a in calib["amax"])
+        assert len(calib["amax"]) == 6
+        # per-channel lists; individual channels may be dead (amax 0)
+        assert all(isinstance(a, list) and min(a) >= 0 and max(a) > 0
+                   for a in calib["amax"])
 
         run_main(["--mode", "test", "--model_ckpt", "latest",
                   "--val_img", toy_data["root"],

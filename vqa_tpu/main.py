@@ -262,7 +262,11 @@ def _make_feature_encoder(model_name, model, variables, preprocess):
     if model.int8_stages:
         int8_tag = f"|i8{','.join(map(str, model.int8_stages))}"
         if model.int8_amax:
-            int8_tag += "@" + ",".join(f"{a:.8g}" for a in model.int8_amax)
+            # flatten per-channel amax tuples (legacy scalars stay scalars;
+            # the value lists differ between schemes, so tags never collide)
+            int8_tag += "@" + ",".join(
+                f"{v:.8g}" for a in model.int8_amax
+                for v in (a if isinstance(a, (tuple, list)) else (a,)))
     # Boundary notes: attention caches the co-attention image-encoder
     # output; baseline/bert cache the conv-stack output [7, 7, 512], NOT
     # the 4096-d head — the FC head's Dropout(0.5) layers must stay live

@@ -167,8 +167,9 @@ class VGGFeatures(nn.Module):
     # v5e is (2, 3, 4, 5, 6) — conv1 loses (layout overhead at 64ch) and
     # conv7 is a wash (tools/exp_int8_chain.py, BASELINE.md).
     int8_stages: tuple = ()
-    # calibrated per-stage activation amax (Python floats, aligned with
-    # int8_stages). Non-empty => STATIC activation scales: s_x is an XLA
+    # calibrated per-stage activation amax, aligned with int8_stages: each
+    # entry a per-input-channel tuple of floats (or a legacy per-tensor
+    # float). Non-empty => STATIC activation scales: s_x is an XLA
     # compile-time constant, so quantized features are independent of batch
     # composition and the per-step global-amax reduction (a DP collective
     # under a mesh) disappears. Empty => dynamic per-batch scales (the r2
@@ -211,15 +212,23 @@ class VGGFeatures(nn.Module):
                 if conv_idx in self.int8_stages \
                         and self.is_mutable_collection("quant_stats") \
                         and not self.is_initializing():
+                    ci = x.shape[-1]
                     qa = self.variable("quant_stats", f"amax{conv_idx}",
-                                       lambda: jnp.zeros((), jnp.float32))
+                                       lambda: jnp.zeros((ci,), jnp.float32))
                     qa.value = jnp.maximum(
-                        qa.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+                        qa.value,
+                        jnp.max(jnp.abs(x), axis=(0, 1, 2))
+                        .astype(jnp.float32))
                 s_x_static = None
                 if conv_idx in self.int8_stages and self.int8_amax:
-                    s_x_static = max(
-                        float(self.int8_amax[self.int8_stages.index(conv_idx)]),
-                        1e-12) / 127.0
+                    a = self.int8_amax[self.int8_stages.index(conv_idx)]
+                    if isinstance(a, (tuple, list)):
+                        # per-input-channel quant scales (see the int8 stage
+                        # below for how they fold into the weights)
+                        s_x_static = tuple(
+                            max(float(v), 1e-12) / 127.0 for v in a)
+                    else:  # legacy per-tensor calibration (r3 early files)
+                        s_x_static = max(float(a), 1e-12) / 127.0
                 if first_stage_2x2 and self.conv0_pallas:
                     from ..ops.conv_stage1 import conv0_bn_relu_pool
                     x = conv0_bn_relu_pool(x, jax.lax.stop_gradient(w_f),
@@ -240,24 +249,45 @@ class VGGFeatures(nn.Module):
                     # per-output-channel symmetric weight scales from the
                     # BN-folded fp32 weights; static calibrated (or dynamic
                     # per-batch) activation scale; int32 accumulate -> fp32
-                    # dequant + bias + ReLU
+                    # dequant + bias + ReLU.
+                    #
+                    # Per-input-channel activation scales are FREE given
+                    # static calibration: with x_q[c] = round(x[c]/s_c) and
+                    # w'[c,o] = w[c,o]*s_c quantized per-output-channel,
+                    #   acc*s_w = sum_c (x[c]/s_c)(w[c,o]*s_c) ~= sum x w
+                    # — the channel scales fold into the weights BEFORE
+                    # weight quantization (one extra vector multiply on the
+                    # activation path, FLOP-neutral), and quantization error
+                    # becomes relative to each channel's own range instead
+                    # of the tensor-wide max. Measured on the r3 drift
+                    # ladder (BASELINE.md): the per-tensor scheme loses the
+                    # fine-feature signal this recovers.
                     w32 = kernel * s                          # fp32 [3,3,ci,co]
+                    if isinstance(s_x_static, tuple):
+                        s_c = jnp.asarray(s_x_static, jnp.float32)  # [ci]
+                        x_q = jnp.clip(
+                            jnp.round(x.astype(jnp.float32) / s_c),
+                            -127, 127).astype(jnp.int8)
+                        w32 = w32 * s_c[None, None, :, None]
+                        s_out = 1.0
+                    else:
+                        s_x = s_x_static if s_x_static is not None else \
+                            jnp.maximum(
+                                jnp.max(jnp.abs(x)).astype(jnp.float32),
+                                1e-12) / 127.0
+                        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                                       -127, 127).astype(jnp.int8)
+                        s_out = s_x
                     s_w = jnp.maximum(
                         jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
                     w_q = jnp.clip(jnp.round(w32 / s_w), -127, 127) \
                         .astype(jnp.int8)
-                    s_x = s_x_static if s_x_static is not None else \
-                        jnp.maximum(
-                            jnp.max(jnp.abs(x)).astype(jnp.float32),
-                            1e-12) / 127.0
-                    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
-                                   -127, 127).astype(jnp.int8)
                     acc = jax.lax.conv_general_dilated(
                         x_q, w_q, (1, 1), [(1, 1), (1, 1)],
                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
                         preferred_element_type=jnp.int32)
                     b32 = (bias - ra_mean.value) * s + bn_bias  # fp32
-                    y = acc.astype(jnp.float32) * (s_x * s_w) + b32
+                    y = acc.astype(jnp.float32) * (s_out * s_w) + b32
                     x = nn.relu(y).astype(self.dtype)
                     idx += 1
                 else:

@@ -52,22 +52,33 @@ def _xla_reference_i8(x, w, b, s_x=None):
     off-TPU/unsupported-shape fallback, so ``int8=True`` yields the same
     quantized numerics on every platform (dequant-then-pool == the kernel's
     pool-then-dequant: the scale is positive and the bias per-channel).
-    ``s_x``: calibrated static activation scale (Python float); None =
-    dynamic per-batch amax.
+    ``s_x``: calibrated static activation scale — a Python float (per-tensor)
+    or a length-C tuple (per-input-channel; the channel scales fold into the
+    weights before weight quantization, so the dot stays a plain int8xint8
+    and dequant is by ``s_w`` alone — see models/vgg.py for the derivation);
+    None = dynamic per-batch per-tensor amax.
     """
-    if s_x is None:
-        s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
-                          1e-12) / 127.0
-    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
-                   -127, 127).astype(jnp.int8)
     w32 = w.astype(jnp.float32)
+    if isinstance(s_x, tuple):
+        s_c = jnp.asarray(s_x, jnp.float32)           # [C] quant scales
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_c),
+                       -127, 127).astype(jnp.int8)
+        w32 = w32 * s_c[None, None, :, None]          # fold into weights
+        s_out = 1.0
+    else:
+        if s_x is None:
+            s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
+                              1e-12) / 127.0
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                       -127, 127).astype(jnp.int8)
+        s_out = s_x
     s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
     w_q = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
         x_q, w_q, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    y = jax.nn.relu(acc.astype(jnp.float32) * (s_x * s_w)
+    y = jax.nn.relu(acc.astype(jnp.float32) * (s_out * s_w)
                     + b.astype(jnp.float32))
     y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
                               (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
@@ -321,9 +332,10 @@ def _conv0_pallas_i8(x, w, b, interpret: bool = False, s_x=None):
     """int8-PTQ stage 1: quantize image + s2d-rewritten weights, run the
     int8 fused kernel. ``w``/``b`` are the BN-folded weights (any float
     dtype); output is x.dtype NHWC like the bf16 variant. ``s_x``: static
-    calibrated activation scale (Python float — an XLA constant: the
-    quantize drops its global-amax reduction and results become independent
-    of batch composition); None = dynamic per-batch amax.
+    calibrated activation scale — Python float (per-tensor) or length-C
+    tuple (per-input-channel, folded into the weights) — an XLA constant:
+    the quantize drops its global-amax reduction and results become
+    independent of batch composition; None = dynamic per-batch amax.
     """
     batch, h, _, c = x.shape
     out_ch = w.shape[-1]
@@ -334,21 +346,34 @@ def _conv0_pallas_i8(x, w, b, interpret: bool = False, s_x=None):
     n_seg, r_blk = _pick_blocking(ho, wo, jnp.dtype(x.dtype).itemsize)
     seg = ho // n_seg
 
-    if s_x is None:
-        # dynamic per-batch activation scale (normalized images are bounded,
-        # but the dynamic amax also serves arbitrary inputs without clipping)
-        s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
-                          1e-12) / 127.0
-    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
-                   -127, 127).astype(jnp.int8)
+    w32 = w.astype(jnp.float32)
+    if isinstance(s_x, tuple):
+        # per-input-channel static scales: quantize x per channel, fold the
+        # channel scales into the weights before weight quantization (the
+        # dot stays plain int8xint8; dequant by s_w alone — models/vgg.py)
+        s_c = jnp.asarray(s_x, jnp.float32)           # [C] quant scales
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_c),
+                       -127, 127).astype(jnp.int8)
+        w32 = w32 * s_c[None, None, :, None]
+        s_out = 1.0
+    else:
+        if s_x is None:
+            # dynamic per-batch activation scale (normalized images are
+            # bounded, but the dynamic amax also serves arbitrary inputs
+            # without clipping)
+            s_x = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
+                              1e-12) / 127.0
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                       -127, 127).astype(jnp.int8)
+        s_out = s_x
     xp = _pack_planar_s2d(x_q)                        # int8 planes
 
-    w4 = _pack_w4(w.astype(jnp.float32))              # [108, 4O] fp32
+    w4 = _pack_w4(w32)                                # [108, 4O] fp32
     # per-output-channel scales; each channel's 4 phase columns contain the
     # same weight values, so one scale per o is exact for all phases
     s_w = jnp.maximum(jnp.max(jnp.abs(w4[:, :out_ch]), axis=0), 1e-12) / 127.0
     w_q = jnp.clip(jnp.round(w4 / jnp.tile(s_w, 4)), -127, 127).astype(jnp.int8)
-    scale = (s_x * s_w)[:, None]                      # [O, 1] fp32
+    scale = (s_out * s_w)[:, None]                    # [O, 1] fp32
     b_arg = b.astype(jnp.float32)[:, None]            # [O, 1]
 
     kernel = functools.partial(_kernel_i8, seg=seg, r_blk=r_blk, wo=wo,
@@ -429,7 +454,7 @@ def _partitioned_conv0(variant: str, interpret: bool, s_x=None):
 
 def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
                        variant: str = "bdot", int8: bool = False,
-                       s_x: float | None = None):
+                       s_x: float | tuple | None = None):
     """Stage-1 VGG block: conv3x3(pad1) + (folded-BN) bias + ReLU + maxpool2x2.
 
     x [B, H, W, C], w [3, 3, C, O], b [O] -> [B, H/2, W/2, O]. BN must already
@@ -440,7 +465,8 @@ def conv0_bn_relu_pool(x, w, b, *, force: str | None = None,
     NHWC epilogue) | '2d' (one large matmul per row block) | 'bdot_planar' |
     'bdot_planar_raw' | '2dw' (kept for A/B — all measured slower, see
     BASELINE.md). ``s_x``: static calibrated activation scale for the int8
-    path (Python float; None = dynamic per-batch amax).
+    path (Python float per-tensor, length-C tuple per-input-channel; None =
+    dynamic per-batch amax).
     """
     import os
     b_, h, wd, c = x.shape

@@ -8,11 +8,18 @@ reduction per quantized conv (a cross-device collective under a DP mesh).
 This module replaces that with **calibrated static scales**, the standard
 PTQ recipe: one short pass over N training batches records each int8
 stage's input amax (a running max, collected through a mutable
-``quant_stats`` flax collection), and the resulting per-stage Python floats
-are baked into the model as ``int8_amax`` attributes — XLA compile-time
+``quant_stats`` flax collection), and the resulting per-stage values are
+baked into the model as ``int8_amax`` attributes — XLA compile-time
 constants. Quantization becomes batch-invariant, the per-step reductions
 disappear, and int8 feature caches are exact (the amax values join the
 cache boundary tag).
+
+The amax is recorded **per input channel** (a length-C vector per stage):
+static scales make per-channel activation quantization free — the channel
+scales fold into the conv weights before weight quantization
+(models/vgg.py has the derivation) — and the r3 drift ladder showed the
+per-tensor scheme losing fine-feature signal that per-channel recovers
+(BASELINE.md). Legacy per-tensor sidecars (scalar amax) still load.
 
 The scales persist as a tiny JSON sidecar (``int8_calib.json``) in the run
 log directory, keyed by the stage set and weights fingerprint, so test
@@ -69,12 +76,12 @@ def image_tower(model_name: str, model, variables):
     return enc, sub_vars
 
 
-def collect_amax(enc, sub_vars, image_batches) -> dict[int, float]:
-    """Per-stage input amax over preprocessed image batches.
+def collect_amax(enc, sub_vars, image_batches) -> dict[int, "np.ndarray"]:
+    """Per-stage per-input-channel amax over preprocessed image batches.
 
     ``image_batches``: iterable of device-ready float image batches (already
-    resized/normalized). Returns {conv_idx: amax} for every int8 stage the
-    encoder declares. The encoder itself runs with its current scale mode
+    resized/normalized). Returns {conv_idx: amax[C]} for every int8 stage
+    the encoder declares. The encoder itself runs with its current scale mode
     (dynamic during a fresh calibration), and the recording is a running max
     across batches, accumulated in the ``quant_stats`` collection.
     """
@@ -98,24 +105,31 @@ def collect_amax(enc, sub_vars, image_batches) -> dict[int, float]:
     for path, leaf in flat:
         name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
         assert name.startswith("amax"), name
-        out[int(name[len("amax"):])] = float(np.asarray(leaf))
+        out[int(name[len("amax"):])] = np.asarray(leaf, np.float32)
     return out
 
 
-def amax_tuple(int8_stages: tuple, amax_by_stage: dict[int, float]) -> tuple:
-    """Order the collected amax values along the model's stage tuple."""
+def amax_tuple(int8_stages: tuple, amax_by_stage: dict) -> tuple:
+    """Order the collected amax values along the model's stage tuple.
+
+    Each entry becomes a per-channel tuple of floats (hashable: model
+    attributes are jit-static), matching models/vgg.py's ``int8_amax``
+    contract."""
     missing = [s for s in int8_stages if s not in amax_by_stage]
     if missing:
         raise ValueError(f"int8 calibration missed stages {missing} "
                          f"(collected {sorted(amax_by_stage)})")
-    return tuple(amax_by_stage[s] for s in int8_stages)
+    return tuple(tuple(float(v) for v in np.ravel(amax_by_stage[s]))
+                 for s in int8_stages)
 
 
 def save_calib(log_dir: str, int8_stages: tuple, int8_amax: tuple) -> str:
     path = os.path.join(log_dir, CALIB_FILE)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump({"stages": list(int8_stages), "amax": list(int8_amax)}, f)
+        json.dump({"stages": list(int8_stages),
+                   "amax": [list(a) if isinstance(a, tuple) else a
+                            for a in int8_amax]}, f)
     os.replace(tmp, path)
     return path
 
@@ -129,7 +143,8 @@ def load_calib(log_dir: str, int8_stages: tuple) -> tuple | None:
         data = json.load(f)
     if tuple(data.get("stages", ())) != tuple(int8_stages):
         return None
-    return tuple(float(v) for v in data["amax"])
+    return tuple(tuple(float(x) for x in v) if isinstance(v, list)
+                 else float(v) for v in data["amax"])
 
 
 def calibrate_model(model_name: str, model, variables, preprocess,
@@ -146,8 +161,8 @@ def calibrate_model(model_name: str, model, variables, preprocess,
     batches = (preprocess(b) for b in host_batches)
     amax = amax_tuple(model.int8_stages,
                       collect_amax(enc, sub_vars, batches))
-    log(f"int8 calibration: stages {model.int8_stages} -> amax "
-        f"{tuple(round(a, 4) for a in amax)}")
+    log(f"int8 calibration: stages {model.int8_stages} -> per-channel amax "
+        f"(max) {tuple(round(max(a), 4) for a in amax)}")
     if log_dir is not None:
         save_calib(log_dir, model.int8_stages, amax)
     return model.clone(int8_amax=amax)
