@@ -316,6 +316,37 @@ class TestTestMode:
         assert "int8 calibration: loaded static scales" in out
 
     @pytest.mark.slow
+    def test_ptq_of_bf16_checkpoint(self, toy_data, capsys):
+        """Post-training quantization: a checkpoint trained WITHOUT int8 can
+        be evaluated WITH --int8_backbone — test mode calibrates static
+        per-channel scales on the eval batches (no sidecar in the run dir,
+        the standard PTQ deployment recipe)."""
+        expt = os.path.join(toy_data["root"], "expt_ptq")
+        common = [
+            "--model", "baseline", "--expt_dir", expt, "--expt_name", "e",
+            "--run_name", "r", "--vocab_file", toy_data["vocab"],
+            "--num_cls", "3", "--num_workers", "1",
+            "--synthetic_images", "true", "--image_size", "32",
+            "--batch_size", "4"]
+        run_main(["--mode", "train",
+                  "--train_img", toy_data["root"],
+                  "--train_file", toy_data["data"],
+                  "--num_epochs", "1", "--save_interval", "6",
+                  "--log_interval", "100"] + common)
+        assert not os.path.exists(
+            os.path.join(expt, "e", "r", "int8_calib.json"))
+        run_main(["--mode", "test", "--model_ckpt", "latest",
+                  "--val_img", toy_data["root"],
+                  "--val_file", toy_data["data"],
+                  "--int8_backbone", "true", "--int8_calib", "2"] + common)
+        out = capsys.readouterr().out
+        assert "int8 calibration: stages" in out  # eval-batch calibration ran
+        assert "Test Accuracy" in out
+        # PTQ must not write a sidecar into the training run's dir
+        assert not os.path.exists(
+            os.path.join(expt, "e", "r", "int8_calib.json"))
+
+    @pytest.mark.slow
     def test_test_mode_loss_is_sample_weighted(self, toy_data, capsys):
         """The reported test loss must not change with batching: 13 samples
         as 3 full batches + a 1-row tail (b=4) vs one batch of 13 give the

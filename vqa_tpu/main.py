@@ -585,6 +585,7 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
     if args.cache_features:
         print("NOTE: --cache_features is a training-loop feature; test mode "
               "evaluates each image once and ignores it")
+    needs_calib = False
     if model.int8_stages:
         # evaluation must quantize exactly like training did: reuse the
         # run's calibrated static scales when the sidecar exists
@@ -593,6 +594,10 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
         if amax is not None:
             model = model.clone(int8_amax=amax)
             print(f"int8 calibration: loaded static scales from {log_dir}")
+        elif args.int8_calib > 0:
+            # no sidecar (e.g. PTQ of a bf16-trained checkpoint): calibrate
+            # on the first --int8_calib eval batches after the weights load
+            needs_calib = True
         else:
             print("NOTE: no int8_calib.json in the run dir; int8 stages use "
                   "dynamic per-batch activation scales (batch-dependent)")
@@ -620,6 +625,29 @@ def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):
                                    init_batch, args.learning_rate,
                                    vgg_trainable=False)
         variables = state.variables()
+
+    if needs_calib:
+        # post-training quantization of a checkpoint trained without int8:
+        # calibrate static per-channel scales on the eval distribution (the
+        # standard PTQ deployment recipe). Not persisted — the sidecar
+        # contract belongs to the training run that owns log_dir.
+        from .train.calibrate import calibrate_model
+        _, calib_loader = make_loader(args.val_file, args.val_img,
+                                      shuffle=False, drop_last=False)
+
+        def host_batches(n=args.int8_calib, loader=calib_loader):
+            it = iter(loader)
+            try:
+                for _ in range(n):
+                    try:
+                        yield next(it)["image"]
+                    except StopIteration:
+                        return
+            finally:
+                it.close()
+
+        model = calibrate_model(args.model, model, variables, preprocess,
+                                host_batches(), log_dir=None)
 
     eval_step = make_eval_step(model)
     if mesh is not None:
