@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--vgg_wts", default="vgg11_bn_synth.pth",
                     help="weights file inside data_dir (--vgg_wts_path)")
     ap.add_argument("--save_interval", type=int, default=1000000)
+    ap.add_argument("--int8_calib", type=int, default=-1,
+                    help="tpu only: calibration batches (0 = r2 dynamic "
+                         "per-batch scales, for the static-vs-dynamic row)")
     ap.add_argument("--seed", type=int, default=0,
                     help="tpu only: init/shuffle seed (seed-noise control "
                          "rows for the drift ladder)")
@@ -117,6 +120,8 @@ def main():
             cmd += ["--host_size", str(args.host_size)]
         if args.seed:
             cmd += ["--seed", str(args.seed)]
+        if args.int8_calib >= 0:
+            cmd += ["--int8_calib", str(args.int8_calib)]
         env = dict(os.environ)
         # persistent XLA compile cache: matrix runs share compilations
         env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
