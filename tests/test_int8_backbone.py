@@ -174,10 +174,12 @@ class TestWiring:
         assert model.int8_stages == ()
 
     def test_opt_lvl_auto_mapping(self):
-        """O2/O3 auto-enable int8 on TPU only (tests run on CPU: stays off);
-        explicit False wins at any level."""
-        model, _ = build_model("baseline", 30, 4, opt_lvl=2)
-        assert model.int8_stages == ()  # CPU backend -> auto off
+        """O1+ auto-enables int8 on TPU only (r3 default decision,
+        BASELINE.md; tests run on CPU: stays off); explicit False wins at
+        any level; O0 never auto-enables."""
+        for lvl in (1, 2, 3):
+            model, _ = build_model("baseline", 30, 4, opt_lvl=lvl)
+            assert model.int8_stages == ()  # CPU backend -> auto off
         model, _ = build_model("baseline", 30, 4, opt_lvl=3,
                                int8_backbone=False)
         assert model.int8_stages == ()

@@ -11,11 +11,12 @@ the same architecture hyperparameters per model name:
   transformer question encoder (SURVEY.md §7.8).
 
 The reference's Apex ``--opt_lvl`` O0-O3 maps onto a TPU precision policy:
-O0 = pure fp32; O1 = bf16 compute with fp32 params (the conservative mixed
-default — bf16 needs no loss scaling on TPU); O2/O3 = bf16 + int8-PTQ
-frozen backbone (Apex's "more aggressive mixed precision, may affect
-accuracy" tiers; measured -0.05pp / 6.64x, BASELINE.md). ``--int8_backbone
-true|false`` overrides the O-level default either way.
+O0 = pure fp32; O1+ = bf16 compute with fp32 params (bf16 needs no loss
+scaling on TPU) plus the int8-PTQ frozen backbone on TPU (r3 default
+decision: eval drift <=0.4pp on a task with resolution, training outcomes
+within seed noise, 6.6x throughput — BASELINE.md "Round 3: accuracy
+ladder"). ``--int8_backbone true|false`` overrides the O-level default
+either way.
 """
 
 from __future__ import annotations
@@ -93,26 +94,29 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
     # tools/exp_int8_chain.py). Stage 0 is int8 only through the fused
     # Pallas kernel (the XLA emitter's C_in=3 layout penalty applies to
     # int8 too). Frozen-only: quantized stages have no meaningful gradient.
-    # Default (None): ON at opt_lvl >= 2 — the Apex O2/O3 semantics the
-    # --opt_lvl flag maps ("more aggressive mixed precision, may affect
-    # accuracy"; measured -0.05pp, BASELINE.md) — OFF at O0/O1
+    # Default (None): ON at every mixed-precision level (opt_lvl >= 1) —
+    # r3 decision, BASELINE.md "Round 3: accuracy ladder": PTQ eval drift
+    # <=0.4pp on a converged mid-band model, 12-epoch training outcomes
+    # within seed noise (bf16 {90.5, 85.4} vs int8 {85.3, 87.1}), +25%
+    # train throughput. OFF at O0 (pure-fp32 parity level)
     if int8_backbone and vgg_trainable:
         raise ValueError("--int8_backbone requires a frozen VGG "
                          "(--vgg_train false)")
     if int8_backbone is None:
-        int8_backbone = opt_lvl >= 2 and not vgg_trainable
+        int8_backbone = opt_lvl >= 1 and not vgg_trainable
         if int8_backbone:
             # auto engages on TPU only: XLA's CPU int8 conv path is a scalar
             # reference implementation (orders of magnitude slower); explicit
             # int8_backbone=True is honored on any backend. The platform
-            # check runs only when O2/O3 actually ask for it (jax.devices()
+            # check runs only when O1+ actually asks for it (jax.devices()
             # can block on a wedged tunnel).
             from .ops.conv_stage1 import _on_tpu
             int8_backbone = _on_tpu()
             if int8_backbone:
-                print("NOTE: --opt_lvl >= 2 enables the int8-PTQ frozen "
-                      "backbone (measured -0.05pp accuracy, BASELINE.md); "
-                      "pass --int8_backbone false for pure bf16")
+                print("NOTE: --opt_lvl >= 1 enables the int8-PTQ frozen "
+                      "backbone (drift <=0.4pp measured with resolution, "
+                      "BASELINE.md r3); pass --int8_backbone false for "
+                      "pure bf16")
     int8_stages = () if not int8_backbone else (
         (0, 2, 3, 4, 5, 6) if conv0_pallas else (2, 3, 4, 5, 6))
     if model_name == "baseline":

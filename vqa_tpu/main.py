@@ -161,10 +161,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["auto", "true", "false"],
                         help="int8 post-training quantization of the frozen "
                              "VGG conv stack (per-channel weight scales, "
-                             "dynamic activation scales; 6.64x measured at "
-                             "-0.05pp accuracy, BASELINE.md). auto = on at "
-                             "--opt_lvl 2/3 (the Apex O2/O3 'aggressive "
-                             "mixed precision' semantics), off at O0/O1")
+                             "calibrated static activation scales; 6.64x "
+                             "measured at <=0.4pp drift, BASELINE.md r3). "
+                             "auto = on at --opt_lvl >= 1 on TPU (r3 "
+                             "default decision), off at O0")
     parser.add_argument("--int8_calib", type=int, default=8,
                         help="int8 static-scale calibration: batches of "
                              "train data sampled at startup to fix each "

@@ -183,7 +183,8 @@ def build_parser():
     ap.add_argument("--int8_backbone", type=str, default="auto",
                     choices=["auto", "true", "false"],
                     help="int8-PTQ frozen backbone; auto = on at "
-                         "--opt_lvl 2/3 on TPU (see BASELINE.md)")
+                         "--opt_lvl >= 1 on TPU (eval drift <=0.4pp "
+                         "measured, BASELINE.md r3)")
     ap.add_argument("--use_pallas", action="store_true")
     ap.add_argument("--synthetic_images", action="store_true")
     ap.add_argument("--image_size", type=int,
