@@ -27,7 +27,7 @@ mode / serving / resumed runs reuse the training-time calibration instead
 of depending on their own input data.
 
 No reference counterpart (/root/reference runs fp32/AMP only); the API is a
-TPU-native extension behind ``--int8_backbone`` / ``--opt_lvl 2+``.
+TPU-native extension behind ``--int8_backbone`` (auto-on at O1+ on TPU).
 """
 
 from __future__ import annotations
