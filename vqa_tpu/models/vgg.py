@@ -259,9 +259,11 @@ class VGGFeatures(nn.Module):
                     # weight quantization (one extra vector multiply on the
                     # activation path, FLOP-neutral), and quantization error
                     # becomes relative to each channel's own range instead
-                    # of the tensor-wide max. Measured on the r3 drift
-                    # ladder (BASELINE.md): the per-tensor scheme loses the
-                    # fine-feature signal this recovers.
+                    # of the tensor-wide max. (The r3 PTQ eval ladder
+                    # measured both schemes within 0.6pp of fp32 on a
+                    # converged model — BASELINE.md; per-channel is kept
+                    # because it is numerically tighter at zero cost, not
+                    # because per-tensor measurably fails.)
                     w32 = kernel * s                          # fp32 [3,3,ci,co]
                     if isinstance(s_x_static, tuple):
                         s_c = jnp.asarray(s_x_static, jnp.float32)  # [ci]

@@ -17,9 +17,10 @@ cache boundary tag).
 The amax is recorded **per input channel** (a length-C vector per stage):
 static scales make per-channel activation quantization free — the channel
 scales fold into the conv weights before weight quantization
-(models/vgg.py has the derivation) — and the r3 drift ladder showed the
-per-tensor scheme losing fine-feature signal that per-channel recovers
-(BASELINE.md). Legacy per-tensor sidecars (scalar amax) still load.
+(models/vgg.py has the derivation). The r3 PTQ eval ladder measured both
+schemes within 0.6pp of fp32 on a converged model (BASELINE.md);
+per-channel is kept as the numerically tighter free option. Legacy
+per-tensor sidecars (scalar amax) still load.
 
 The scales persist as a tiny JSON sidecar (``int8_calib.json``) in the run
 log directory, keyed by the stage set and weights fingerprint, so test
