@@ -122,3 +122,63 @@ class TestServeFromTrainedCheckpoint:
         r = predictor.predict([os.path.join(setup["root"], "a.jpg")],
                               ["is,the,cat,black"])[0]
         assert r["answer"] in vocab.label2idx
+
+
+class TestInt8Sidecar:
+    """Serving with --int8_backbone: static scales load from the
+    checkpoint's int8_calib.json sidecar (serve.py:VQAPredictor.__init__);
+    without one, the predictor falls back to dynamic per-batch scales with
+    a printed NOTE (batch-dependent predictions, BASELINE.md r3)."""
+
+    def _ckpt(self, setup, run_dir):
+        import jax
+        import jax.numpy as jnp
+
+        from vqa_tpu.config import build_model
+        from vqa_tpu.train.checkpoint import save_checkpoint
+        from vqa_tpu.train.state import create_train_state
+
+        vocab = Vocab.load(setup["vocab"])
+        model, _ = build_model("baseline", vocab.size, vocab.num_labels,
+                               opt_lvl=0)
+        init = {"image": jnp.zeros((1, 32, 32, 3)),
+                "question": jnp.zeros((1, vocab.max_seq_length), jnp.int32),
+                "ques_len": jnp.ones((1,), jnp.int32)}
+        state = create_train_state(model, jax.random.PRNGKey(0), init, 1e-3)
+        return vocab, save_checkpoint(state, run_dir, 1)
+
+    def test_dynamic_fallback_prints_note(self, setup, tmp_path, capsys):
+        vocab, ckpt = self._ckpt(setup, str(tmp_path))
+        p = VQAPredictor("baseline", vocab, ckpt, batch_size=2,
+                         synthetic_images=True, image_size=32,
+                         int8_backbone=True)
+        assert p.model.int8_stages == (0, 2, 3, 4, 5, 6)
+        assert not p.model.int8_amax  # dynamic per-batch scales
+        assert "no int8_calib.json" in capsys.readouterr().out
+
+    def test_sidecar_scales_load(self, setup, tmp_path):
+        from vqa_tpu.train.calibrate import save_calib
+
+        vocab, ckpt = self._ckpt(setup, str(tmp_path))
+        # per-input-channel amax for the default stage set (0,2,3,4,5,6):
+        # VGG-11 stage input widths 3,128,256,256,512,512
+        amax = tuple(tuple(1.0 + i / 10.0 for _ in range(c))
+                     for i, c in enumerate((3, 128, 256, 256, 512, 512)))
+        save_calib(str(tmp_path), (0, 2, 3, 4, 5, 6), amax)
+        p = VQAPredictor("baseline", vocab, ckpt, batch_size=2,
+                         synthetic_images=True, image_size=32,
+                         int8_backbone=True)
+        assert p.model.int8_amax == amax
+
+    def test_stale_stage_set_ignored(self, setup, tmp_path, capsys):
+        """A sidecar for a different stage set must not load (wrong scales
+        are worse than dynamic ones)."""
+        from vqa_tpu.train.calibrate import save_calib
+
+        vocab, ckpt = self._ckpt(setup, str(tmp_path))
+        save_calib(str(tmp_path), (2, 3), ((1.0,) * 128, (1.0,) * 256))
+        p = VQAPredictor("baseline", vocab, ckpt, batch_size=2,
+                         synthetic_images=True, image_size=32,
+                         int8_backbone=True)
+        assert not p.model.int8_amax
+        assert "no int8_calib.json" in capsys.readouterr().out
