@@ -69,6 +69,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                 use_pallas: bool = False, s2d_first: bool = False,
                 conv0_pallas: bool | None = None,
                 int8_backbone: bool | None = None,
+                hpack_pool: bool = True,
                 max_seq_length: int | None = None):
     """Instantiate a model by registry name (reference main.py:162-165).
 
@@ -119,12 +120,19 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                       "pure bf16")
     int8_stages = () if not int8_backbone else (
         (0, 2, 3, 4, 5, 6) if conv0_pallas else (2, 3, 4, 5, 6))
+    # pooled int8 stages (conv3/conv5 in the default set) run through the
+    # fused H-pair-packed Pallas kernel (ops/conv_hpack.py) — same
+    # quantization to within 1 ulp f32, conv+bias+ReLU+pool in one pass
+    # (measured faster than the int8-XLA chain, BASELINE.md r3). Inert
+    # when int8_stages is empty; identical-XLA fallback off-TPU.
+    hpack_pool = bool(hpack_pool) and bool(int8_stages)
     if model_name == "baseline":
         from .models import VQABaselineNet
         return VQABaselineNet(vocab_size=vocab_size, K=num_classes,
                               vgg_trainable=vgg_trainable, s2d_first=s2d_first,
                               conv0_pallas=conv0_pallas,
                               int8_stages=int8_stages,
+                              hpack_pool=hpack_pool,
                               remat=remat, dtype=dtype,
                               **cfg.question_params), cfg
     if model_name == "attention":
@@ -133,13 +141,14 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
             vocab_size=vocab_size, K=num_classes, mlp_dim=cfg.mlp_dim,
             vgg_trainable=vgg_trainable, s2d_first=s2d_first, remat=remat,
             conv0_pallas=conv0_pallas, int8_stages=int8_stages,
-            use_pallas=use_pallas, dtype=dtype,
+            hpack_pool=hpack_pool, use_pallas=use_pallas, dtype=dtype,
             **cfg.question_params), cfg
     if model_name == "bert":
         from .models.bert import VQABertNet
         max_len = max(64, max_seq_length or 0)
         return VQABertNet(vocab_size=vocab_size, K=num_classes, max_len=max_len,
                           vgg_trainable=vgg_trainable, conv0_pallas=conv0_pallas,
-                          int8_stages=int8_stages, dtype=dtype,
+                          int8_stages=int8_stages, hpack_pool=hpack_pool,
+                          dtype=dtype,
                           **cfg.question_params), cfg
     raise KeyError(model_name)

@@ -165,6 +165,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "measured at <=0.4pp drift, BASELINE.md r3). "
                              "auto = on at --opt_lvl >= 1 on TPU (r3 "
                              "default decision), off at O0")
+    parser.add_argument("--hpack_pool", type=str2bool, default="true",
+                        help="run pooled int8 stages (conv3/conv5) through "
+                             "the fused H-pair-packed Pallas kernel "
+                             "(conv+bias+ReLU+maxpool in one pass, same "
+                             "quantization within 1 ulp f32; BASELINE.md "
+                             "r3). Inert without --int8_backbone")
     parser.add_argument("--int8_calib", type=int, default=8,
                         help="int8 static-scale calibration: batches of "
                              "train data sampled at startup to fix each "
@@ -261,6 +267,11 @@ def _make_feature_encoder(model_name, model, variables, preprocess):
     int8_tag = ""
     if model.int8_stages:
         int8_tag = f"|i8{','.join(map(str, model.int8_stages))}"
+        if model.hpack_pool:
+            # the fused pooled-stage kernel matches the XLA int8 stages
+            # only to 1 ulp f32 (FMA contraction), so its caches are keyed
+            # separately from plain-XLA int8 caches
+            int8_tag += "|hp"
         if model.int8_amax:
             # flatten per-channel amax tuples (legacy scalars stay scalars;
             # the value lists differ between schemes, so tags never collide)
@@ -309,6 +320,7 @@ def main(argv=None):
                              vgg_trainable=args.vgg_train, opt_lvl=args.opt_lvl,
                              use_pallas=args.use_pallas,
                              int8_backbone=int8_backbone,
+                             hpack_pool=args.hpack_pool,
                              max_seq_length=vocab.max_seq_length)
     image_size = args.image_size or cfg.image_size
     host_size = args.host_size or image_size

@@ -39,6 +39,7 @@ class ImageBaselineEncoder(nn.Module):
     conv0_pallas: bool = False
     int8_stages: tuple = ()
     int8_amax: tuple = ()
+    hpack_pool: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -55,6 +56,7 @@ class ImageBaselineEncoder(nn.Module):
                          conv0_pallas=self.conv0_pallas,
                          int8_stages=self.int8_stages,
                          int8_amax=self.int8_amax,
+                         hpack_pool=self.hpack_pool,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats,
                                                skip_features=image_is_features)
@@ -100,6 +102,7 @@ class VQABaselineNet(nn.Module):
     conv0_pallas: bool = False
     int8_stages: tuple = ()
     int8_amax: tuple = ()
+    hpack_pool: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -111,6 +114,7 @@ class VQABaselineNet(nn.Module):
                                        conv0_pallas=self.conv0_pallas,
                                        int8_stages=self.int8_stages,
                                        int8_amax=self.int8_amax,
+                                       hpack_pool=self.hpack_pool,
                                        remat=self.remat,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats, image_is_features)

@@ -107,6 +107,7 @@ class VQABertNet(nn.Module):
     conv0_pallas: bool = False
     int8_stages: tuple = ()
     int8_amax: tuple = ()
+    hpack_pool: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -117,6 +118,7 @@ class VQABertNet(nn.Module):
                                        conv0_pallas=self.conv0_pallas,
                                        int8_stages=self.int8_stages,
                                        int8_amax=self.int8_amax,
+                                       hpack_pool=self.hpack_pool,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats, image_is_features)
         ques_emb = BertQuestionEncoder(

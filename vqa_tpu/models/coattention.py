@@ -47,6 +47,7 @@ class ImageCoAttentionEncoder(nn.Module):
     conv0_pallas: bool = False
     int8_stages: tuple = ()
     int8_amax: tuple = ()
+    hpack_pool: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -56,6 +57,7 @@ class ImageCoAttentionEncoder(nn.Module):
                          conv0_pallas=self.conv0_pallas,
                          int8_stages=self.int8_stages,
                          int8_amax=self.int8_amax,
+                         hpack_pool=self.hpack_pool,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
         if not self.vgg_trainable:
@@ -225,6 +227,7 @@ class HierarchicalCoAttentionNet(nn.Module):
     conv0_pallas: bool = False
     int8_stages: tuple = ()
     int8_amax: tuple = ()
+    hpack_pool: bool = False
     remat: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
@@ -246,6 +249,7 @@ class HierarchicalCoAttentionNet(nn.Module):
                 conv0_pallas=self.conv0_pallas,
                 int8_stages=self.int8_stages,
                 int8_amax=self.int8_amax,
+                hpack_pool=self.hpack_pool,
                 remat=self.remat, dtype=self.dtype,
                 name="image_encoder")(x_img, train, use_running_stats)
 

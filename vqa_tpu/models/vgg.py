@@ -176,6 +176,13 @@ class VGGFeatures(nn.Module):
     # behavior; still used during calibration itself). Produced by
     # vqa_tpu.train.calibrate and persisted as int8_calib.json per run.
     int8_amax: tuple = ()
+    # run pooled int8 stages (conv3/conv5 with the default int8 set; conv1/
+    # conv7 too if they ever join int8_stages) through the fused H-pair-
+    # packed Pallas kernel (ops/conv_hpack.py): conv + bias + ReLU + maxpool
+    # in one pass, same quantization semantics as the XLA int8 stage to
+    # within 1 ulp of f32. Falls back to the identical XLA expression
+    # off-TPU. No effect on stages outside int8_stages or without a pool.
+    hpack_pool: bool = False
 
     @nn.compact
     def __call__(self, x, use_running_stats: bool = True):
@@ -243,6 +250,23 @@ class VGGFeatures(nn.Module):
                     y = y.reshape(b_, h_, w_, 4, v) + b_f
                     x = jnp.max(nn.relu(y), axis=3)           # phase max == pool
                     idx += 2
+                elif (conv_idx in self.int8_stages and self.hpack_pool
+                      and pool_next and x.shape[1] % 2 == 0
+                      and x.shape[2] % 2 == 0):
+                    # pooled int8 stage through the fused H-pair-packed
+                    # kernel (ops/conv_hpack.py): one pass for conv + bias +
+                    # ReLU + maxpool2x2, identical quantization to the XLA
+                    # int8 branch below (within 1 ulp f32 — FMA contraction).
+                    # stop_gradient everywhere: int8 stages exist only on
+                    # the frozen backbone, and pallas_call has no vjp.
+                    from ..ops.conv_hpack import conv_bn_relu_pool
+                    x = conv_bn_relu_pool(
+                        jax.lax.stop_gradient(x),
+                        jax.lax.stop_gradient(kernel * s),
+                        jax.lax.stop_gradient(
+                            (bias - ra_mean.value) * s + bn_bias),
+                        int8=True, s_x=s_x_static)
+                    idx += 2                                  # conv + its 'M'
                 elif conv_idx in self.int8_stages:
                     # int8 PTQ stage (tools/exp_int8_chain.py: 1.4-1.6x over
                     # bf16 at >=128 channels through XLA, chain cost incl.):
@@ -366,6 +390,7 @@ class VGG11Encoder(nn.Module):
     conv0_pallas: bool = False
     int8_stages: tuple = ()
     int8_amax: tuple = ()
+    hpack_pool: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -390,6 +415,7 @@ class VGG11Encoder(nn.Module):
                              conv0_pallas=self.conv0_pallas,
                              int8_stages=self.int8_stages,
                              int8_amax=self.int8_amax,
+                             hpack_pool=self.hpack_pool,
                              name="features")(x, use_running_stats)
         if self.include_head:
             x = adaptive_avg_pool(x, (7, 7))

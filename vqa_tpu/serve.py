@@ -62,6 +62,7 @@ class VQAPredictor:
                  *, num_cls: int | None = None, batch_size: int = 32,
                  opt_lvl: int = 1, use_pallas: bool = False,
                  int8_backbone: bool | None = None,
+                 hpack_pool: bool = True,
                  synthetic_images: bool = False, image_size: int | None = None):
         self.vocab = vocab
         self.batch_size = batch_size
@@ -78,6 +79,7 @@ class VQAPredictor:
             num_classes = (num_cls + 1) if num_cls is not None else vocab.num_labels
         self.num_classes = num_classes
         self.model, cfg = build_model(model_name, vocab.size, num_classes,
+                                      hpack_pool=hpack_pool,
                                       opt_lvl=opt_lvl, use_pallas=use_pallas,
                                       int8_backbone=int8_backbone)
         if self.model.int8_stages and checkpoint:
