@@ -42,8 +42,10 @@ class TestKernelNumerics:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
 
+    @pytest.mark.parametrize("variant", ["split", "merged"])
     @pytest.mark.parametrize("s_x_kind", ["dynamic", "tensor", "channel"])
-    def test_interpret_int8_near_exact(self, s_x_kind):
+    def test_interpret_int8_near_exact(self, s_x_kind, variant, monkeypatch):
+        monkeypatch.setenv("VQA_HPACK_VARIANT", variant)
         x, w, bias = _case((2, 16, 16), 8, 16, seed=1)
         s_x = {"dynamic": None, "tensor": 3.0 / 127.0,
                "channel": tuple(float(v) / 127.0
@@ -106,10 +108,12 @@ class TestModelIntegration:
 
         rng = jax.random.PRNGKey(0)
         x = jax.random.normal(rng, (2, 32, 32, 3), jnp.float32)
-        feats = VGGFeatures(int8_stages=(2, 3, 4, 5, 6), hpack_pool=hpack,
-                            int8_amax=((1.0,) * 128, (2.0,) * 256,
-                                       (2.0,) * 256, (3.0,) * 512,
-                                       (3.0,) * 512))
+        # stage 1 included: the hpack branch is gated to C_in <= 64, so
+        # conv1 is the one stage that exercises the kernel routing
+        feats = VGGFeatures(int8_stages=(1, 2, 3, 4, 5, 6), hpack_pool=hpack,
+                            int8_amax=((1.0,) * 64, (1.0,) * 128,
+                                       (2.0,) * 256, (2.0,) * 256,
+                                       (3.0,) * 512, (3.0,) * 512))
         vs = feats.init(jax.random.PRNGKey(1), x, True)
         if force_pallas:
             os.environ["VQA_CONVP_FORCE"] = "pallas"

@@ -70,6 +70,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                 conv0_pallas: bool | None = None,
                 int8_backbone: bool | None = None,
                 hpack_pool: bool = True,
+                int8_stages_override: tuple | None = None,
                 max_seq_length: int | None = None):
     """Instantiate a model by registry name (reference main.py:162-165).
 
@@ -120,11 +121,20 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                       "pure bf16")
     int8_stages = () if not int8_backbone else (
         (0, 2, 3, 4, 5, 6) if conv0_pallas else (2, 3, 4, 5, 6))
-    # pooled int8 stages (conv3/conv5 in the default set) run through the
-    # fused H-pair-packed Pallas kernel (ops/conv_hpack.py) — same
-    # quantization to within 1 ulp f32, conv+bias+ReLU+pool in one pass
-    # (measured faster than the int8-XLA chain, BASELINE.md r3). Inert
-    # when int8_stages is empty; identical-XLA fallback off-TPU.
+    if int8_stages_override is not None and int8_backbone:
+        # explicit stage-set override (--int8_stages): production tuning and
+        # the PTQ drift experiments that gate default-set changes. Stage 0
+        # quantizes only through the fused conv0 kernel.
+        int8_stages = tuple(sorted(set(int8_stages_override)
+                                   - (set() if conv0_pallas else {0})))
+    # pooled int8 stages with C_in <= 64 (i.e. conv1, if int8-quantized)
+    # run through the fused H-pair-packed Pallas kernel (ops/conv_hpack.py)
+    # — same quantization to within 1 ulp f32, conv+bias+ReLU+pool in one
+    # pass; the packing fixes the half-filled lane dim that makes both the
+    # XLA int8 chain (31ms) and every unpacked Pallas formulation lose to
+    # bf16 XLA (20.5ms) at conv1 (BASELINE.md r3). At C_in >= 128 the
+    # int8-XLA chain wins instead, so conv3/conv5 stay on it. Inert when
+    # int8_stages is empty; identical-XLA fallback off-TPU.
     hpack_pool = bool(hpack_pool) and bool(int8_stages)
     if model_name == "baseline":
         from .models import VQABaselineNet

@@ -166,11 +166,18 @@ def build_parser() -> argparse.ArgumentParser:
                              "auto = on at --opt_lvl >= 1 on TPU (r3 "
                              "default decision), off at O0")
     parser.add_argument("--hpack_pool", type=str2bool, default="true",
-                        help="run pooled int8 stages (conv3/conv5) through "
-                             "the fused H-pair-packed Pallas kernel "
+                        help="run pooled int8 stages with C_in <= 64 "
+                             "(conv1, when int8-quantized) through the "
+                             "fused H-pair-packed Pallas kernel "
                              "(conv+bias+ReLU+maxpool in one pass, same "
                              "quantization within 1 ulp f32; BASELINE.md "
                              "r3). Inert without --int8_backbone")
+    parser.add_argument("--int8_stages", type=str, default="auto",
+                        help="comma-separated conv indices (0-7) to "
+                             "int8-quantize, overriding the measured "
+                             "default set (0,2,3,4,5,6). Requires "
+                             "--int8_backbone; used to gate default-set "
+                             "extensions with PTQ drift evals")
     parser.add_argument("--int8_calib", type=int, default=8,
                         help="int8 static-scale calibration: batches of "
                              "train data sampled at startup to fix each "
@@ -321,6 +328,10 @@ def main(argv=None):
                              use_pallas=args.use_pallas,
                              int8_backbone=int8_backbone,
                              hpack_pool=args.hpack_pool,
+                             int8_stages_override=(
+                                 None if args.int8_stages == "auto" else
+                                 tuple(int(i) for i in
+                                       args.int8_stages.split(",") if i)),
                              max_seq_length=vocab.max_seq_length)
     image_size = args.image_size or cfg.image_size
     host_size = args.host_size or image_size

@@ -251,12 +251,17 @@ class VGGFeatures(nn.Module):
                     x = jnp.max(nn.relu(y), axis=3)           # phase max == pool
                     idx += 2
                 elif (conv_idx in self.int8_stages and self.hpack_pool
-                      and pool_next and x.shape[1] % 2 == 0
-                      and x.shape[2] % 2 == 0):
+                      and pool_next and x.shape[-1] <= 64
+                      and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
                     # pooled int8 stage through the fused H-pair-packed
                     # kernel (ops/conv_hpack.py): one pass for conv + bias +
                     # ReLU + maxpool2x2, identical quantization to the XLA
                     # int8 branch below (within 1 ulp f32 — FMA contraction).
+                    # C_in <= 64 ONLY: the packing pays for itself exactly
+                    # where the lane dim would otherwise be half-filled
+                    # (conv1); at C_in >= 128 the int8-XLA chain below wins
+                    # every measured formulation (BASELINE.md r3 tables:
+                    # hpack 29.3/23.7ms vs XLA 15.0/11.7 at conv3/conv5).
                     # stop_gradient everywhere: int8 stages exist only on
                     # the frozen backbone, and pallas_call has no vjp.
                     from ..ops.conv_hpack import conv_bn_relu_pool

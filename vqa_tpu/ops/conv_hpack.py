@@ -60,19 +60,29 @@ def _pack_h_pairs(x):
             .reshape(b, h // 2, w, 2 * c))
 
 
-def _pack_weights(w, dtype):
-    """[3, 3, C, O] -> [9, 2C, 2O]: one weight block per (q'-offset, dw).
+def _pack_weights(w, dtype, variant="split"):
+    """Pack [3, 3, C, O] into per-(offset, dw) weight blocks.
 
-    Offset 0 (packed row q'-1) feeds output phase 0 only: block
-    [[0, 0], [w0, 0]] (rows = input pair halves, cols = phase halves).
-    Offset 1 (packed q') feeds both phases: [[w1, w0], [w2, w1]].
-    Offset 2 (packed q'+1) feeds phase 1 only: [[0, w2], [0, 0]].
-    The structured zeros double the dot FLOPs vs the true conv, but dot
-    time is <15% of the measured block at these shapes — fewer, fuller
-    dots win (see module docstring).
+    'split' (the default, 12 dots of [2C, O]): 4 (offset, phase) pairs
+      — offset 0 feeds phase 0 as [0; w0], offset 1 feeds phase 0 as
+      [w1; w2] and phase 1 as [w0; w1], offset 2 feeds phase 1 as
+      [w2; 0] (rows = input pair halves). 1.33x FLOP inflation.
+    'merged' (9 dots of [2C, 2O]): offset 1's two phase matrices ride one
+      dot by concatenation on O; offsets 0/2 zero-pad the unused phase.
+      2x FLOP inflation, fewer dot issues — measured SLOWER than 'split'
+      at conv1 (BASELINE.md r3), kept for A/B.
     """
     c, out_ch = w.shape[2], w.shape[3]
     z = jnp.zeros((c, out_ch), w.dtype)
+    if variant == "split":
+        taps = []
+        for pair in ((z, w[0]), (w[1], w[2]), (w[0], w[1]), (w[2], z)):
+            for dw in range(3):
+                taps.append(jnp.concatenate([pair[0][dw] if pair[0] is not z
+                                             else z,
+                                             pair[1][dw] if pair[1] is not z
+                                             else z], axis=0))
+        return jnp.stack(taps).astype(dtype)          # [12, 2C, O]
     zz = jnp.zeros((2 * c, out_ch), w.dtype)
     taps = []
     for off in range(3):
@@ -88,29 +98,46 @@ def _pack_weights(w, dtype):
                 blk = jnp.concatenate(
                     [zz, jnp.concatenate([w[2, dw], z], 0)], axis=1)
             taps.append(blk)
-    return jnp.stack(taps).astype(dtype)    # [9, 2C, 2O]
+    return jnp.stack(taps).astype(dtype)              # [9, 2C, 2O]
 
 
-def _kernel(xp_ref, w_ref, sc_ref, b_ref, out_ref, *, r_blk, w_img, int8):
+def _kernel(xp_ref, w_ref, sc_ref, b_ref, out_ref, *, r_blk, w_img, int8,
+            variant):
     """One (sample, q'-block) -> pooled out [1, R, W/2, O].
 
     xp_ref [1, Q+2, W+2, 2C]: the whole padded packed sample, resident in
     VMEM across the row grid axis (Q is an outer, untiled dim — the
-    dynamic row slices below are free). w_ref [9, 2C, 2O]; sc_ref/b_ref
-    [1, O] (sc = per-out-channel dequant scale, 1.0s for bf16).
+    dynamic row slices below are free). w_ref: see _pack_weights;
+    sc_ref/b_ref [1, O] (sc = per-out-channel dequant scale, 1.0s for
+    bf16). The pool's H-reduction is the max of the two phase
+    accumulators (or the accumulator's two lane halves, 'merged').
     """
     start = pl.program_id(1) * r_blk
     out_ch = out_ref.shape[-1]
-    acc = None
-    for off in range(3):
-        slab = xp_ref[0, pl.ds(start + off, r_blk), :, :]     # [R, W+2, 2C]
-        for dw in range(3):
-            d = jax.lax.dot_general(
-                slab[:, dw:dw + w_img, :], w_ref[off * 3 + dw],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32 if int8 else jnp.float32)
-            acc = d if acc is None else acc + d               # [R, W, 2O]
-    m = jnp.maximum(acc[..., :out_ch], acc[..., out_ch:])     # pool over H
+    acct = jnp.int32 if int8 else jnp.float32
+    if variant == "split":
+        # (offset, phase) pairs aligned with _pack_weights 'split' order
+        accs = [None, None]
+        for i, (off, p) in enumerate(((0, 0), (1, 0), (1, 1), (2, 1))):
+            slab = xp_ref[0, pl.ds(start + off, r_blk), :, :]  # [R,W+2,2C]
+            for dw in range(3):
+                d = jax.lax.dot_general(
+                    slab[:, dw:dw + w_img, :], w_ref[i * 3 + dw],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=acct)
+                accs[p] = d if accs[p] is None else accs[p] + d
+        m = jnp.maximum(accs[0], accs[1])                     # pool over H
+    else:
+        acc = None
+        for off in range(3):
+            slab = xp_ref[0, pl.ds(start + off, r_blk), :, :]  # [R,W+2,2C]
+            for dw in range(3):
+                d = jax.lax.dot_general(
+                    slab[:, dw:dw + w_img, :], w_ref[off * 3 + dw],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=acct)
+                acc = d if acc is None else acc + d           # [R, W, 2O]
+        m = jnp.maximum(acc[..., :out_ch], acc[..., out_ch:])  # pool over H
     y = m.astype(jnp.float32) * sc_ref[0][None, None]
     y = jnp.maximum(y + b_ref[0][None, None], 0.0)
     # pool over W: [R, W, O] -> [R, W/2, 2, O] -> max over the pair dim
@@ -132,9 +159,10 @@ def _pick_r_blk(q: int) -> int | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("int8", "s_x", "interpret"))
+@functools.partial(jax.jit, static_argnames=("int8", "s_x", "interpret",
+                                              "variant"))
 def _conv_hpack(x, w, b, int8: bool = False, s_x=None,
-                interpret: bool = False):
+                interpret: bool = False, variant: str = "split"):
     """x [B,H,W,C] -> maxpool2x2(relu(conv3x3(x, w) + b)) [B,H/2,W/2,O].
 
     ``w``/``b`` are the BN-folded weights (any float dtype). int8: quantize
@@ -165,11 +193,11 @@ def _conv_hpack(x, w, b, int8: bool = False, s_x=None,
         s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)),
                           1e-12) / 127.0
         w_q = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
-        w_taps = _pack_weights(w_q, jnp.int8)
+        w_taps = _pack_weights(w_q, jnp.int8, variant)
         scale = (s_out * s_w)[None]                           # [1, O]
     else:
         x_in = x
-        w_taps = _pack_weights(w32, x.dtype)
+        w_taps = _pack_weights(w32, x.dtype, variant)
         scale = jnp.ones((1, out_ch), jnp.float32)
 
     xp = _pack_h_pairs(x_in)
@@ -177,7 +205,8 @@ def _conv_hpack(x, w, b, int8: bool = False, s_x=None,
     xp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
     b_arg = b.astype(jnp.float32)[None]                       # [1, O]
 
-    kernel = functools.partial(_kernel, r_blk=r_blk, w_img=wd, int8=int8)
+    kernel = functools.partial(_kernel, r_blk=r_blk, w_img=wd, int8=int8,
+                               variant=variant)
     return pl.pallas_call(
         kernel,
         grid=(batch, q // r_blk),
@@ -240,7 +269,7 @@ def _xla_reference_i8(x, w, b, s_x=None):
 
 
 @functools.lru_cache()
-def _partitioned(int8: bool, interpret: bool, s_x=None):
+def _partitioned(int8: bool, interpret: bool, s_x=None, variant="split"):
     """GSPMD batch-parallel wrapper (same design as conv_stage1.py:
     pallas_call has no SPMD rule, so without this a DP mesh would
     all-gather the conv input; weights/bias replicate, batch shards)."""
@@ -249,7 +278,8 @@ def _partitioned(int8: bool, interpret: bool, s_x=None):
     from jax.sharding import PartitionSpec as P
 
     def call(x, w, b):
-        return _conv_hpack(x, w, b, int8=int8, s_x=s_x, interpret=interpret)
+        return _conv_hpack(x, w, b, int8=int8, s_x=s_x, interpret=interpret,
+                           variant=variant)
 
     fn = custom_partitioning(call)
 
@@ -293,6 +323,9 @@ def conv_bn_relu_pool(x, w, b, *, force: str | None = None,
     import os
     _, h, wd, c = x.shape
     force = force or os.environ.get("VQA_CONVP_FORCE") or None
+    # 'split' (12 dots, 1.33x inflation) measured faster than 'merged'
+    # (9 dots, 2x) at conv1 — env knob for A/B reruns
+    variant = os.environ.get("VQA_HPACK_VARIANT", "split")
     supported = (w.shape[:2] == (3, 3) and h % 2 == 0 and wd % 2 == 0
                  and _pick_r_blk(h // 2) is not None)
     if force == "xla" or (force != "pallas" and not (supported and _on_tpu())):
@@ -300,4 +333,4 @@ def conv_bn_relu_pool(x, w, b, *, force: str | None = None,
             else _xla_reference(x, w, b)
     if not supported:
         raise ValueError(f"unsupported pooled-stage shape: x{x.shape} w{w.shape}")
-    return _partitioned(int8, not _on_tpu(), s_x)(x, w, b)
+    return _partitioned(int8, not _on_tpu(), s_x, variant)(x, w, b)

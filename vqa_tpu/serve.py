@@ -63,6 +63,7 @@ class VQAPredictor:
                  opt_lvl: int = 1, use_pallas: bool = False,
                  int8_backbone: bool | None = None,
                  hpack_pool: bool = True,
+                 int8_stages: tuple | None = None,
                  synthetic_images: bool = False, image_size: int | None = None):
         self.vocab = vocab
         self.batch_size = batch_size
@@ -80,6 +81,7 @@ class VQAPredictor:
         self.num_classes = num_classes
         self.model, cfg = build_model(model_name, vocab.size, num_classes,
                                       hpack_pool=hpack_pool,
+                                      int8_stages_override=int8_stages,
                                       opt_lvl=opt_lvl, use_pallas=use_pallas,
                                       int8_backbone=int8_backbone)
         if self.model.int8_stages and checkpoint:
@@ -187,6 +189,11 @@ def build_parser():
                     help="int8-PTQ frozen backbone; auto = on at "
                          "--opt_lvl >= 1 on TPU (eval drift <=0.4pp "
                          "measured, BASELINE.md r3)")
+    ap.add_argument("--int8_stages", type=str, default="auto",
+                    help="comma-separated conv indices to int8-quantize, "
+                         "overriding the measured default set — must match "
+                         "the set the checkpoint's calibration sidecar was "
+                         "built with if one is present")
     ap.add_argument("--use_pallas", action="store_true")
     ap.add_argument("--synthetic_images", action="store_true")
     ap.add_argument("--image_size", type=int,
@@ -203,6 +210,8 @@ def main(argv=None):
         opt_lvl=args.opt_lvl, use_pallas=args.use_pallas,
         int8_backbone={"auto": None, "true": True,
                        "false": False}[args.int8_backbone],
+        int8_stages=(None if args.int8_stages == "auto" else
+                     tuple(int(i) for i in args.int8_stages.split(",") if i)),
         synthetic_images=args.synthetic_images,
         image_size=args.image_size)
 
