@@ -165,7 +165,14 @@ class TestNumerics:
 class TestWiring:
     def test_build_model_flag(self):
         model, _ = build_model("attention", 30, 4, int8_backbone=True)
-        # conv0 included via the fused Pallas int8 kernel (default-on)
+        # conv0 included via the fused Pallas int8 kernel (default-on);
+        # conv1 joined in late r3 via the hpack kernel (PTQ drift gate
+        # passed, BASELINE.md r3 cont.)
+        assert model.int8_stages == (0, 1, 2, 3, 4, 5, 6)
+        model, _ = build_model("attention", 30, 4, int8_backbone=True,
+                               hpack_pool=False)
+        # without the hpack kernel conv1 reverts to bf16 XLA (the int8-XLA
+        # chain loses at 64ch)
         assert model.int8_stages == (0, 2, 3, 4, 5, 6)
         model, _ = build_model("attention", 30, 4, int8_backbone=True,
                                conv0_pallas=False)
@@ -185,7 +192,7 @@ class TestWiring:
         assert model.int8_stages == ()
         model, _ = build_model("baseline", 30, 4, opt_lvl=0,
                                int8_backbone=True)
-        assert model.int8_stages == (0, 2, 3, 4, 5, 6)
+        assert model.int8_stages == (0, 1, 2, 3, 4, 5, 6)
 
     def test_rejects_trainable_vgg(self):
         with pytest.raises(ValueError, match="frozen"):

@@ -119,8 +119,21 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                       "backbone (drift <=0.4pp measured with resolution, "
                       "BASELINE.md r3); pass --int8_backbone false for "
                       "pure bf16")
+    # conv1 joined the default set in late r3: its int8 path runs through
+    # the fused H-pair-packed kernel (hpack below; the XLA int8 chain loses
+    # at 64ch, 28.3ms vs 20.5 bf16, but the kernel wins at 19.1ms), and the
+    # PTQ drift gate passed — converged K=12 checkpoint evals 90.55% with
+    # conv1 quantized vs 90.50 bf16 / 90.35 with the old set (BASELINE.md
+    # r3 cont.). Falls back to bf16 XLA when hpack is disabled (see the
+    # stage-set adjustment below) so --hpack_pool false never routes conv1
+    # through the losing int8-XLA chain.
     int8_stages = () if not int8_backbone else (
-        (0, 2, 3, 4, 5, 6) if conv0_pallas else (2, 3, 4, 5, 6))
+        (0, 1, 2, 3, 4, 5, 6) if conv0_pallas else (2, 3, 4, 5, 6))
+    if not hpack_pool:
+        # conv1 is int8-profitable ONLY through the hpack kernel; with the
+        # kernel opted out, the default set reverts to the r3-early set so
+        # conv1 stays bf16-XLA rather than the losing int8-XLA chain
+        int8_stages = tuple(i for i in int8_stages if i != 1)
     if int8_stages_override is not None and int8_backbone:
         # explicit stage-set override (--int8_stages): production tuning and
         # the PTQ drift experiments that gate default-set changes. Stage 0
