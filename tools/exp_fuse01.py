@@ -1,0 +1,311 @@
+"""Probe: stage-0 -> conv1 layout fusion (packed-int8 handoff).
+
+The r3 default path runs the VGG stem as two Pallas kernels with an XLA
+glue seam between them:
+
+  conv0 i8 kernel -> bf16 NHWC [B,224,224,64]        (half-filled lanes)
+  XLA: quantize (bf16 read) + H-pair pack + pad      (hpack prologue)
+  hpack kernel   -> bf16 NHWC [B,112,112,128]
+
+The seam costs twice: stage 0 stores 1.31GB of bf16 it just dequantized,
+and the hpack prologue immediately re-quantizes and relayouts it. This
+probe measures emitting conv1's *kernel input* straight from stage 0's
+epilogue: quantize with conv1's per-input-channel scales (known
+statically from calibration) and store the H-pair-packed int8 map
+[B,112,224,128] — full lanes, half the bytes, no prologue left but the
+boundary pad.
+
+Numerics note: the fused handoff quantizes conv1's input from the f32
+accumulator instead of from the bf16-rounded store, so it is *tighter*
+than the shipped chain, not identical; the check below reports the
+mismatch rate vs the shipped chain and exactness vs an f32-quantize
+oracle.
+
+Run CPU check:  EXP_CHECK=1 JAX_PLATFORMS=cpu python tools/exp_fuse01.py
+Run on TPU:     python tools/exp_fuse01.py  [BENCH_BATCH=160]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+if os.environ.get("EXP_CHECK"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+if os.environ.get("EXP_CHECK"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vqa_tpu.ops import conv_hpack as chp
+from vqa_tpu.ops import conv_stage1 as cs1
+
+B = int(os.environ.get("BENCH_BATCH", 160))
+ITERS = int(os.environ.get("BENCH_STEPS", 10))
+H = int(os.environ.get("EXP_H", 448))  # image side; conv0 out is H/2
+
+
+def timeit(f, *args):
+    y = f(*args)
+    float(jnp.asarray(y).reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        y = f(*args)
+    float(jnp.asarray(y).reshape(-1)[0])
+    return (time.perf_counter() - t0) / ITERS * 1e3
+
+
+# ---------------------------------------------------------------- fused
+def _kernel_i8_packed(xp_ref, w_ref, scale_ref, inv_s1_ref, b_ref, out_ref,
+                      *, seg, r_blk, wo, out_ch):
+    """conv0 int8 kernel with a packed-int8 epilogue.
+
+    Same dots/phase-max as conv_stage1._kernel_i8; the epilogue then
+    quantizes with conv1's per-input-channel scales (inv_s1_ref [O, 1],
+    reciprocal) and stores H row pairs packed onto lanes:
+    out[q, w, O*r + c] = q8[2q + r, w, c], out block [1, seg/2, Wo, 2O].
+    """
+    for blk in range(seg // r_blk):
+        start = pl.program_id(1) * seg + blk * r_blk
+        xslab = xp_ref[0, :, pl.ds(start, r_blk + 2), :]
+        views = [xslab[:, a:a + r_blk, bb:bb + wo]
+                 for a in range(3) for bb in range(3)]
+        p = jnp.concatenate(views, axis=0).transpose(1, 0, 2)
+        w_b = jnp.broadcast_to(w_ref[:][None], (r_blk,) + w_ref.shape)
+        acc = jax.lax.dot_general(
+            w_b, p, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)             # [R, 4O, Wo]
+        m = jnp.maximum(
+            jnp.maximum(acc[:, 0 * out_ch:1 * out_ch],
+                        acc[:, 1 * out_ch:2 * out_ch]),
+            jnp.maximum(acc[:, 2 * out_ch:3 * out_ch],
+                        acc[:, 3 * out_ch:4 * out_ch]))
+        y = m.astype(jnp.float32) * scale_ref[:][None]    # [R, O, Wo]
+        y = jnp.maximum(y + b_ref[:][None], 0.0)
+        # quantize for conv1 while O is still on sublanes ([O,1] bcast),
+        # then the known-good lane transpose, then the pair interleave as
+        # an even/odd leading-dim slice + lane concat (64+64 = 128 lanes)
+        q = jnp.clip(jnp.round(y * inv_s1_ref[:][None]), -127, 127)
+        qt = q.transpose(0, 2, 1)                         # [R, Wo, O] f32
+        pair = jnp.concatenate([qt[0::2], qt[1::2]], axis=-1)
+        out_ref[0, pl.ds(blk * (r_blk // 2), r_blk // 2), :, :] = \
+            pair.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("s_x", "s1"))
+def conv0_i8_packed(x, w, b, s_x, s1):
+    """x [B,H,W,3] -> packed-int8 conv1 input [B, H/4, W/2, 128].
+
+    s_x: stage-0 per-input-channel quant scales (tuple, len 3).
+    s1: conv1 per-input-channel quant scales (tuple, len 64) — stage 0's
+    output channels, from the same calibration table.
+    """
+    batch, h, _, c = x.shape
+    out_ch = w.shape[-1]
+    ho, wo = h // 2, x.shape[2] // 2
+    n_seg, r_blk = cs1._pick_blocking(ho, wo, 1)
+    seg = ho // n_seg
+
+    w32 = w.astype(jnp.float32)
+    s_c = jnp.asarray(s_x, jnp.float32)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_c),
+                   -127, 127).astype(jnp.int8)
+    w32 = w32 * s_c[None, None, :, None]
+    xp = cs1._pack_planar_s2d(x_q)
+
+    w4 = cs1._pack_w4(w32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(w4[:, :out_ch]), axis=0), 1e-12) / 127.
+    w_q = jnp.clip(jnp.round(w4 / jnp.tile(s_w, 4)), -127, 127).astype(jnp.int8)
+    scale = s_w[:, None]                                  # [O, 1]
+    b_arg = b.astype(jnp.float32)[:, None]
+    inv_s1 = (1.0 / jnp.asarray(s1, jnp.float32))[:, None]
+
+    kernel = functools.partial(_kernel_i8_packed, seg=seg, r_blk=r_blk,
+                               wo=wo, out_ch=out_ch)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, n_seg),
+        in_specs=[
+            pl.BlockSpec((1,) + xp.shape[1:], lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * out_ch, w4.shape[0]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(scale.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(inv_s1.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_arg.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, seg // 2, wo, 2 * out_ch),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, ho // 2, wo, 2 * out_ch),
+                                       jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=bool(os.environ.get("EXP_CHECK")),
+    )(xp, w_q.T, scale, inv_s1, b_arg)
+
+
+@functools.partial(jax.jit, static_argnames=("s1",))
+def hpack_packed(xp, w, b, s1):
+    """hpack conv1 stage from a pre-quantized packed input [B,Q,W,2C]."""
+    batch, q, wd, c2 = xp.shape
+    out_ch = w.shape[-1]
+    r_blk = chp._pick_r_blk(q)
+    w32 = w.astype(jnp.float32) * jnp.asarray(s1, jnp.float32)[None, None,
+                                                               :, None]
+    s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.
+    w_q = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
+    w_taps = chp._pack_weights(w_q, jnp.int8, "split")
+    scale = s_w[None]
+
+    xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    b_arg = b.astype(jnp.float32)[None]
+    kernel = functools.partial(chp._kernel, r_blk=r_blk, w_img=wd,
+                               int8=True, variant="split")
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, q // r_blk),
+        in_specs=[
+            pl.BlockSpec((1,) + xpp.shape[1:], lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_taps.shape, lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(scale.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_arg.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r_blk, wd // 2, out_ch),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, q, wd // 2, out_ch),
+                                       jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=bool(os.environ.get("EXP_CHECK")),
+    )(xpp, w_taps, scale, b_arg)
+
+
+def main():
+    check = bool(os.environ.get("EXP_CHECK"))
+    b = 2 if check else B
+    h = 64 if check else H
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    x = (jax.random.normal(k1, (b, h, h, 3), jnp.float32)
+         .astype(jnp.bfloat16))
+    w0 = jax.random.normal(k2, (3, 3, 3, 64), jnp.float32) * 0.2
+    b0 = jax.random.normal(k3, (64,), jnp.float32) * 0.1
+    w1 = jax.random.normal(k4, (3, 3, 64, 128), jnp.float32) * 0.05
+    b1 = jax.random.normal(k5, (128,), jnp.float32) * 0.1
+
+    s_x = tuple(float(v) for v in
+                np.maximum(np.abs(np.asarray(x, np.float32))
+                           .reshape(-1, 3).max(0), 1e-12) / 127.0)
+    # conv1 input scales: amax of the conv0 chain output per channel
+    y0_f32 = np.asarray(cs1._xla_reference(
+        x.astype(jnp.float32), w0, b0), np.float32)
+    s1 = tuple(float(v) for v in
+               np.maximum(y0_f32.reshape(-1, 64).max(0), 1e-12) / 127.0)
+
+    interp = check
+
+    # shipped chain: conv0 i8 -> bf16 NHWC -> hpack (quantize+pack inside)
+    @jax.jit
+    def chain_shipped(x):
+        y0 = cs1._conv0_pallas_i8(x, w0, b0, interpret=interp, s_x=s_x)
+        return chp._conv_hpack(y0, jnp.asarray(w1), jnp.asarray(b1),
+                               int8=True, s_x=s1, interpret=interp)
+
+    # fused chain: conv0 emits the packed-int8 conv1 input directly
+    @jax.jit
+    def chain_fused(x):
+        xp = conv0_i8_packed(x, w0, b0, s_x, s1)
+        return hpack_packed(xp, jnp.asarray(w1), jnp.asarray(b1), s1)
+
+    if check:
+        a = np.asarray(chain_shipped(x), np.float32)
+        f = np.asarray(chain_fused(x), np.float32)
+        # the fused handoff quantizes conv1's input from the f32
+        # accumulator instead of the bf16-rounded store: outputs differ
+        # from the shipped chain by requant steps, and must be at least
+        # as close to the f32 oracle as the shipped chain is
+        o1 = np.asarray(chp._xla_reference(
+            jnp.asarray(y0_f32), jnp.asarray(w1), jnp.asarray(b1)),
+            np.float32)
+        err_shipped = float(np.abs(a - o1).max())
+        err_fused = float(np.abs(f - o1).max())
+        print(json.dumps({"check": "fused vs shipped",
+                          "max_abs": float(np.abs(a - f).max()),
+                          "out_amax": float(np.abs(a).max()),
+                          "err_shipped_vs_f32": err_shipped,
+                          "err_fused_vs_f32": err_fused}))
+        assert np.abs(a - f).max() < 8 * max(np.asarray(s1).max(), 1e-6), \
+            "fused vs shipped beyond a few requant steps"
+        assert err_fused <= err_shipped * 1.25 + 1e-6, \
+            "fused handoff is not within the shipped chain's error band"
+        # exactness vs an oracle that quantizes the f32 conv0 output
+        y0q = np.clip(np.round(y0_f32 / np.asarray(s1, np.float32)),
+                      -127, 127).astype(np.int8)
+        bq, hq = y0q.shape[0], y0q.shape[1] // 2
+        pk = (y0q.reshape(bq, hq, 2, y0q.shape[2], 64)
+              .transpose(0, 1, 3, 2, 4).reshape(bq, hq, y0q.shape[2], 128))
+        got = np.asarray(conv0_i8_packed(x.astype(jnp.float32), w0, b0,
+                                         s_x, s1))
+        # stage-0 itself is int8: compare against the int8 oracle chain
+        o = np.asarray(cs1._xla_reference_i8(
+            x.astype(jnp.float32), w0, b0, s_x=s_x), np.float32)
+        oq = np.clip(np.round(o / np.asarray(s1, np.float32)),
+                     -127, 127).astype(np.int8)
+        opk = (oq.reshape(bq, hq, 2, oq.shape[2], 64)
+               .transpose(0, 1, 3, 2, 4).reshape(bq, hq, oq.shape[2], 128))
+        frac = float((got != opk).mean())
+        print(json.dumps({"check": "conv0 packed vs i8 oracle",
+                          "mismatch_frac": frac}))
+        assert frac < 1e-3, "packed epilogue diverges from the i8 oracle"
+        print("CHECK OK")
+        return
+
+    xw = x
+    rows = {}
+    rows["conv0_shipped"] = timeit(
+        lambda t: cs1._conv0_pallas_i8(t, w0, b0, s_x=s_x), xw)
+    y0 = cs1._conv0_pallas_i8(xw, w0, b0, s_x=s_x)
+    rows["hpack_shipped_from_bf16"] = timeit(
+        lambda t: chp._conv_hpack(t, jnp.asarray(w1), jnp.asarray(b1),
+                                  int8=True, s_x=s1), y0)
+
+    @jax.jit
+    def prologue(t):
+        s_c = jnp.asarray(s1, jnp.float32)
+        q = jnp.clip(jnp.round(t.astype(jnp.float32) / s_c),
+                     -127, 127).astype(jnp.int8)
+        return jnp.pad(chp._pack_h_pairs(q), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    rows["hpack_prologue_alone"] = timeit(prologue, y0)
+
+    rows["chain_shipped"] = timeit(chain_shipped, xw)
+    rows["conv0_packed"] = timeit(
+        lambda t: conv0_i8_packed(t, w0, b0, s_x, s1), xw)
+    xp = conv0_i8_packed(xw, w0, b0, s_x, s1)
+    rows["pad_alone"] = timeit(
+        jax.jit(lambda t: jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))), xp)
+    rows["hpack_from_packed"] = timeit(
+        lambda t: hpack_packed(t, jnp.asarray(w1), jnp.asarray(b1), s1), xp)
+    rows["chain_fused"] = timeit(chain_fused, xw)
+    print(json.dumps({k: round(v, 2) for k, v in rows.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                 conv0_pallas: bool | None = None,
                 int8_backbone: bool | None = None,
                 hpack_pool: bool = True,
+                fused_stem: bool = True,
                 int8_stages_override: tuple | None = None,
                 max_seq_length: int | None = None):
     """Instantiate a model by registry name (reference main.py:162-165).
@@ -149,6 +150,13 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
     # int8-XLA chain wins instead, so conv3/conv5 stay on it. Inert when
     # int8_stages is empty; identical-XLA fallback off-TPU.
     hpack_pool = bool(hpack_pool) and bool(int8_stages)
+    # join conv0/conv1 with a packed-int8 handoff (ops/conv_stem.py) once
+    # static calibration exists: conv0 stops storing a full-resolution bf16
+    # map for the hpack prologue to immediately requantize. Engages at
+    # apply time only when {0, 1} are int8 stages with per-channel scales
+    # (models/vgg.py _take_fused_stem); inert otherwise, so the flag can
+    # default on alongside hpack_pool.
+    fused_stem = bool(fused_stem) and hpack_pool and conv0_pallas
     if model_name == "baseline":
         from .models import VQABaselineNet
         return VQABaselineNet(vocab_size=vocab_size, K=num_classes,
@@ -156,6 +164,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                               conv0_pallas=conv0_pallas,
                               int8_stages=int8_stages,
                               hpack_pool=hpack_pool,
+                              fused_stem=fused_stem,
                               remat=remat, dtype=dtype,
                               **cfg.question_params), cfg
     if model_name == "attention":
@@ -164,7 +173,8 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
             vocab_size=vocab_size, K=num_classes, mlp_dim=cfg.mlp_dim,
             vgg_trainable=vgg_trainable, s2d_first=s2d_first, remat=remat,
             conv0_pallas=conv0_pallas, int8_stages=int8_stages,
-            hpack_pool=hpack_pool, use_pallas=use_pallas, dtype=dtype,
+            hpack_pool=hpack_pool, fused_stem=fused_stem,
+            use_pallas=use_pallas, dtype=dtype,
             **cfg.question_params), cfg
     if model_name == "bert":
         from .models.bert import VQABertNet
@@ -172,6 +182,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
         return VQABertNet(vocab_size=vocab_size, K=num_classes, max_len=max_len,
                           vgg_trainable=vgg_trainable, conv0_pallas=conv0_pallas,
                           int8_stages=int8_stages, hpack_pool=hpack_pool,
+                          fused_stem=fused_stem,
                           dtype=dtype,
                           **cfg.question_params), cfg
     raise KeyError(model_name)

@@ -172,6 +172,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "(conv+bias+ReLU+maxpool in one pass, same "
                              "quantization within 1 ulp f32; BASELINE.md "
                              "r3). Inert without --int8_backbone")
+    parser.add_argument("--fused_stem", type=str2bool, default="true",
+                        help="join conv0/conv1 with a packed-int8 handoff "
+                             "(ops/conv_stem.py): conv0's epilogue emits "
+                             "conv1's kernel input directly — no full-"
+                             "resolution bf16 intermediate. Engages only "
+                             "once static int8 calibration exists for "
+                             "stages 0 and 1; inert otherwise")
     parser.add_argument("--int8_stages", type=str, default="auto",
                         help="comma-separated conv indices (0-7) to "
                              "int8-quantize, overriding the measured "
@@ -279,6 +286,14 @@ def _make_feature_encoder(model_name, model, variables, preprocess):
             # only to 1 ulp f32 (FMA contraction), so its caches are keyed
             # separately from plain-XLA int8 caches
             int8_tag += "|hp"
+        if (getattr(model, "fused_stem", False) and model.int8_amax
+                and 0 in model.int8_stages and 1 in model.int8_stages):
+            # the fused conv0->conv1 handoff quantizes conv1's input from
+            # the f32 epilogue instead of a bf16 store (ops/conv_stem.py)
+            # — different values than the unfused chain, so its caches key
+            # separately (conservative: tagged even if a shape check later
+            # routes unfused, which only costs a redundant rebuild)
+            int8_tag += "|fs"
         if model.int8_amax:
             # flatten per-channel amax tuples (legacy scalars stay scalars;
             # the value lists differ between schemes, so tags never collide)
@@ -328,6 +343,7 @@ def main(argv=None):
                              use_pallas=args.use_pallas,
                              int8_backbone=int8_backbone,
                              hpack_pool=args.hpack_pool,
+                             fused_stem=args.fused_stem,
                              int8_stages_override=(
                                  None if args.int8_stages == "auto" else
                                  tuple(int(i) for i in

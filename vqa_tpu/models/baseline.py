@@ -40,6 +40,7 @@ class ImageBaselineEncoder(nn.Module):
     int8_stages: tuple = ()
     int8_amax: tuple = ()
     hpack_pool: bool = False
+    fused_stem: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -57,6 +58,7 @@ class ImageBaselineEncoder(nn.Module):
                          int8_stages=self.int8_stages,
                          int8_amax=self.int8_amax,
                          hpack_pool=self.hpack_pool,
+                         fused_stem=self.fused_stem,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats,
                                                skip_features=image_is_features)
@@ -103,6 +105,7 @@ class VQABaselineNet(nn.Module):
     int8_stages: tuple = ()
     int8_amax: tuple = ()
     hpack_pool: bool = False
+    fused_stem: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -115,6 +118,7 @@ class VQABaselineNet(nn.Module):
                                        int8_stages=self.int8_stages,
                                        int8_amax=self.int8_amax,
                                        hpack_pool=self.hpack_pool,
+                                       fused_stem=self.fused_stem,
                                        remat=self.remat,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats, image_is_features)

@@ -108,6 +108,7 @@ class VQABertNet(nn.Module):
     int8_stages: tuple = ()
     int8_amax: tuple = ()
     hpack_pool: bool = False
+    fused_stem: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -119,6 +120,7 @@ class VQABertNet(nn.Module):
                                        int8_stages=self.int8_stages,
                                        int8_amax=self.int8_amax,
                                        hpack_pool=self.hpack_pool,
+                                       fused_stem=self.fused_stem,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats, image_is_features)
         ques_emb = BertQuestionEncoder(

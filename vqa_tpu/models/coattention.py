@@ -48,6 +48,7 @@ class ImageCoAttentionEncoder(nn.Module):
     int8_stages: tuple = ()
     int8_amax: tuple = ()
     hpack_pool: bool = False
+    fused_stem: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -58,6 +59,7 @@ class ImageCoAttentionEncoder(nn.Module):
                          int8_stages=self.int8_stages,
                          int8_amax=self.int8_amax,
                          hpack_pool=self.hpack_pool,
+                         fused_stem=self.fused_stem,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
         if not self.vgg_trainable:
@@ -228,6 +230,7 @@ class HierarchicalCoAttentionNet(nn.Module):
     int8_stages: tuple = ()
     int8_amax: tuple = ()
     hpack_pool: bool = False
+    fused_stem: bool = False
     remat: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
@@ -250,6 +253,7 @@ class HierarchicalCoAttentionNet(nn.Module):
                 int8_stages=self.int8_stages,
                 int8_amax=self.int8_amax,
                 hpack_pool=self.hpack_pool,
+                fused_stem=self.fused_stem,
                 remat=self.remat, dtype=self.dtype,
                 name="image_encoder")(x_img, train, use_running_stats)
 

@@ -183,6 +183,17 @@ class VGGFeatures(nn.Module):
     # within 1 ulp of f32. Falls back to the identical XLA expression
     # off-TPU. No effect on stages outside int8_stages or without a pool.
     hpack_pool: bool = False
+    # join conv0 and conv1 with a packed-int8 handoff (ops/conv_stem.py):
+    # conv0's epilogue quantizes with conv1's calibrated scales and stores
+    # the H-pair-packed int8 map directly — no full-resolution bf16
+    # intermediate, no hpack prologue. Engages only when conv0_pallas,
+    # hpack_pool, {0, 1} in int8_stages, and static per-channel calibration
+    # for both stages are all present (otherwise the unfused branches below
+    # run). Numerics: conv1's input quantizes from the f32 epilogue instead
+    # of a bf16 store — tighter than, but not bit-equal to, the unfused
+    # chain; the off-TPU fallback reproduces the *fused* numerics, so the
+    # flag (not the platform) decides the values.
+    fused_stem: bool = False
 
     @nn.compact
     def __call__(self, x, use_running_stats: bool = True):
@@ -195,6 +206,16 @@ class VGGFeatures(nn.Module):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 idx += 1
+                continue
+            if idx == 0 and self._take_fused_stem(x, use_running_stats):
+                # conv0 + pool + conv1 + pool as two Pallas kernels joined
+                # by a packed-int8 handoff (see the fused_stem field note).
+                # Params are created with the exact names/layout the
+                # unfused branches would create, so checkpoints, the
+                # converter, and calibration are all unaffected.
+                x = self._fused_stem(x)
+                idx += 4                  # conv0, 'M', conv1, 'M'
+                conv_idx += 2
                 continue
             kernel, bias = _ConvParams(v, x.shape[-1], name=f"conv{conv_idx}")()
             scale, bn_bias, ra_mean, ra_var = _BNParams(v, name=f"bn{conv_idx}")()
@@ -357,6 +378,56 @@ class VGGFeatures(nn.Module):
             conv_idx += 1
         return x
 
+    def _take_fused_stem(self, x, use_running_stats: bool) -> bool:
+        """Static routing decision for the fused conv0+conv1 stem.
+
+        All conditions are compile-time (flags, calibration presence,
+        shapes), so the same config routes the same way on every platform
+        — the values then differ only by the documented f32-vs-bf16
+        handoff, which ops/conv_stem.py's fallback reproduces off-TPU.
+        """
+        if not (use_running_stats and self.fused_stem and self.conv0_pallas
+                and self.hpack_pool and 0 in self.int8_stages
+                and 1 in self.int8_stages and self.int8_amax):
+            return False
+        if self.is_mutable_collection("quant_stats") \
+                and not self.is_initializing():
+            return False    # calibration needs the per-stage amax recording
+        a0 = self.int8_amax[self.int8_stages.index(0)]
+        a1 = self.int8_amax[self.int8_stages.index(1)]
+        if not (isinstance(a0, (tuple, list))
+                and isinstance(a1, (tuple, list)) and len(a1) == 64):
+            return False    # the handoff needs per-channel static scales
+        from ..ops.conv_stem import stem_supported
+        return stem_supported(x.shape, (3, 3, x.shape[-1], 64),
+                              (3, 3, 64, 128))
+
+    def _fused_stem(self, x):
+        """conv0+pool+conv1+pool via the packed-int8 handoff.
+
+        Creates conv0/bn0/conv1/bn1 with the exact names and layouts the
+        unfused branches use, folds BN in fp32, and derives both stages'
+        static quant scales from the calibration table. stop_gradient
+        everywhere: int8 stages exist only on the frozen backbone, and
+        pallas_call has no vjp.
+        """
+        from ..ops.conv_stem import fused_stem
+        k0, b0 = _ConvParams(64, x.shape[-1], name="conv0")()
+        s0, bb0, m0, v0 = _BNParams(64, name="bn0")()
+        k1, b1 = _ConvParams(128, 64, name="conv1")()
+        s1, bb1, m1, v1 = _BNParams(128, name="bn1")()
+        f0 = s0 * jax.lax.rsqrt(v0.value + 1e-5)
+        f1 = s1 * jax.lax.rsqrt(v1.value + 1e-5)
+        a0 = self.int8_amax[self.int8_stages.index(0)]
+        a1 = self.int8_amax[self.int8_stages.index(1)]
+        sx0 = tuple(max(float(t), 1e-12) / 127.0 for t in a0)
+        sx1 = tuple(max(float(t), 1e-12) / 127.0 for t in a1)
+        sg = jax.lax.stop_gradient
+        return fused_stem(
+            sg(x), sg(k0 * f0), sg((b0 - m0.value) * f0 + bb0),
+            sg(k1 * f1), sg((b1 - m1.value) * f1 + bb1),
+            s_x0=sx0, s_x1=sx1)
+
 
 class VGGClassifierHead(nn.Module):
     """torch ``vgg11_bn().classifier[:-1]``: FC-4096 x2 with ReLU+Dropout.
@@ -396,6 +467,7 @@ class VGG11Encoder(nn.Module):
     int8_stages: tuple = ()
     int8_amax: tuple = ()
     hpack_pool: bool = False
+    fused_stem: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -421,6 +493,7 @@ class VGG11Encoder(nn.Module):
                              int8_stages=self.int8_stages,
                              int8_amax=self.int8_amax,
                              hpack_pool=self.hpack_pool,
+                             fused_stem=self.fused_stem,
                              name="features")(x, use_running_stats)
         if self.include_head:
             x = adaptive_avg_pool(x, (7, 7))

@@ -63,6 +63,7 @@ class VQAPredictor:
                  opt_lvl: int = 1, use_pallas: bool = False,
                  int8_backbone: bool | None = None,
                  hpack_pool: bool = True,
+                 fused_stem: bool = True,
                  int8_stages: tuple | None = None,
                  synthetic_images: bool = False, image_size: int | None = None):
         self.vocab = vocab
@@ -81,6 +82,7 @@ class VQAPredictor:
         self.num_classes = num_classes
         self.model, cfg = build_model(model_name, vocab.size, num_classes,
                                       hpack_pool=hpack_pool,
+                                      fused_stem=fused_stem,
                                       int8_stages_override=int8_stages,
                                       opt_lvl=opt_lvl, use_pallas=use_pallas,
                                       int8_backbone=int8_backbone)

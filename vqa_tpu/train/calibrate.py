@@ -55,6 +55,7 @@ def image_tower(model_name: str, model, variables):
             vgg_trainable=False, s2d_first=model.s2d_first,
             conv0_pallas=model.conv0_pallas,
             int8_stages=model.int8_stages, int8_amax=model.int8_amax,
+            hpack_pool=model.hpack_pool, fused_stem=model.fused_stem,
             remat=model.remat, dtype=model.dtype)
         sub_params = variables["params"]["image_encoder"]
         sub_stats = variables.get("batch_stats", {}).get("image_encoder", {})
@@ -64,6 +65,8 @@ def image_tower(model_name: str, model, variables):
                            conv0_pallas=model.conv0_pallas,
                            int8_stages=model.int8_stages,
                            int8_amax=model.int8_amax,
+                           hpack_pool=model.hpack_pool,
+                           fused_stem=model.fused_stem,
                            remat=getattr(model, "remat", False),
                            dtype=model.dtype)
         vgg = variables["params"]["image_encoder"]["vgg11_encoder"]
