@@ -71,6 +71,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                 int8_backbone: bool | None = None,
                 hpack_pool: bool = True,
                 fused_stem: bool = True,
+                int8_handoff: bool = True,
                 int8_stages_override: tuple | None = None,
                 max_seq_length: int | None = None):
     """Instantiate a model by registry name (reference main.py:162-165).
@@ -157,6 +158,10 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
     # (models/vgg.py _take_fused_stem); inert otherwise, so the flag can
     # default on alongside hpack_pool.
     fused_stem = bool(fused_stem) and hpack_pool and conv0_pallas
+    # quantize each int8-XLA stage's output for the next one inside the
+    # epilogue (models/vgg.py int8_handoff note): halves inter-stage HBM
+    # traffic for conv2..6 once static calibration exists; inert otherwise
+    int8_handoff = bool(int8_handoff) and bool(int8_stages)
     if model_name == "baseline":
         from .models import VQABaselineNet
         return VQABaselineNet(vocab_size=vocab_size, K=num_classes,
@@ -165,6 +170,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                               int8_stages=int8_stages,
                               hpack_pool=hpack_pool,
                               fused_stem=fused_stem,
+                              int8_handoff=int8_handoff,
                               remat=remat, dtype=dtype,
                               **cfg.question_params), cfg
     if model_name == "attention":
@@ -174,6 +180,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
             vgg_trainable=vgg_trainable, s2d_first=s2d_first, remat=remat,
             conv0_pallas=conv0_pallas, int8_stages=int8_stages,
             hpack_pool=hpack_pool, fused_stem=fused_stem,
+            int8_handoff=int8_handoff,
             use_pallas=use_pallas, dtype=dtype,
             **cfg.question_params), cfg
     if model_name == "bert":
@@ -183,6 +190,7 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
                           vgg_trainable=vgg_trainable, conv0_pallas=conv0_pallas,
                           int8_stages=int8_stages, hpack_pool=hpack_pool,
                           fused_stem=fused_stem,
+                          int8_handoff=int8_handoff,
                           dtype=dtype,
                           **cfg.question_params), cfg
     raise KeyError(model_name)

@@ -179,6 +179,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "resolution bf16 intermediate. Engages only "
                              "once static int8 calibration exists for "
                              "stages 0 and 1; inert otherwise")
+    parser.add_argument("--int8_handoff", type=str2bool, default="true",
+                        help="quantize each int8-XLA stage's output for "
+                             "the next inside the fused epilogue "
+                             "(conv2..6): inter-stage maps move through "
+                             "HBM as int8, half the bytes. Engages only "
+                             "with static calibration; inert otherwise")
     parser.add_argument("--int8_stages", type=str, default="auto",
                         help="comma-separated conv indices (0-7) to "
                              "int8-quantize, overriding the measured "
@@ -294,6 +300,13 @@ def _make_feature_encoder(model_name, model, variables, preprocess):
             # separately (conservative: tagged even if a shape check later
             # routes unfused, which only costs a redundant rebuild)
             int8_tag += "|fs"
+        if (getattr(model, "int8_handoff", False) and model.int8_amax
+                and any((i + 1) in model.int8_stages
+                        for i in model.int8_stages)):
+            # inter-stage int8 handoffs quantize from f32 epilogues
+            # (models/vgg.py int8_handoff note) — different values than
+            # the bf16-store chain, so those caches key separately
+            int8_tag += "|ho"
         if model.int8_amax:
             # flatten per-channel amax tuples (legacy scalars stay scalars;
             # the value lists differ between schemes, so tags never collide)
@@ -344,6 +357,7 @@ def main(argv=None):
                              int8_backbone=int8_backbone,
                              hpack_pool=args.hpack_pool,
                              fused_stem=args.fused_stem,
+                             int8_handoff=args.int8_handoff,
                              int8_stages_override=(
                                  None if args.int8_stages == "auto" else
                                  tuple(int(i) for i in

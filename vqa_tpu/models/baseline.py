@@ -41,6 +41,7 @@ class ImageBaselineEncoder(nn.Module):
     int8_amax: tuple = ()
     hpack_pool: bool = False
     fused_stem: bool = False
+    int8_handoff: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -59,6 +60,7 @@ class ImageBaselineEncoder(nn.Module):
                          int8_amax=self.int8_amax,
                          hpack_pool=self.hpack_pool,
                          fused_stem=self.fused_stem,
+                         int8_handoff=self.int8_handoff,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats,
                                                skip_features=image_is_features)
@@ -106,6 +108,7 @@ class VQABaselineNet(nn.Module):
     int8_amax: tuple = ()
     hpack_pool: bool = False
     fused_stem: bool = False
+    int8_handoff: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -119,6 +122,7 @@ class VQABaselineNet(nn.Module):
                                        int8_amax=self.int8_amax,
                                        hpack_pool=self.hpack_pool,
                                        fused_stem=self.fused_stem,
+                                       int8_handoff=self.int8_handoff,
                                        remat=self.remat,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats, image_is_features)

@@ -109,6 +109,7 @@ class VQABertNet(nn.Module):
     int8_amax: tuple = ()
     hpack_pool: bool = False
     fused_stem: bool = False
+    int8_handoff: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -121,6 +122,7 @@ class VQABertNet(nn.Module):
                                        int8_amax=self.int8_amax,
                                        hpack_pool=self.hpack_pool,
                                        fused_stem=self.fused_stem,
+                                       int8_handoff=self.int8_handoff,
                                        dtype=self.dtype, name="image_encoder")(
             x_img, train, use_running_stats, image_is_features)
         ques_emb = BertQuestionEncoder(

@@ -49,6 +49,7 @@ class ImageCoAttentionEncoder(nn.Module):
     int8_amax: tuple = ()
     hpack_pool: bool = False
     fused_stem: bool = False
+    int8_handoff: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -60,6 +61,7 @@ class ImageCoAttentionEncoder(nn.Module):
                          int8_amax=self.int8_amax,
                          hpack_pool=self.hpack_pool,
                          fused_stem=self.fused_stem,
+                         int8_handoff=self.int8_handoff,
                          remat=self.remat, dtype=self.dtype,
                          name="vgg11_encoder")(x_img, train, use_running_stats)
         if not self.vgg_trainable:
@@ -231,6 +233,7 @@ class HierarchicalCoAttentionNet(nn.Module):
     int8_amax: tuple = ()
     hpack_pool: bool = False
     fused_stem: bool = False
+    int8_handoff: bool = False
     remat: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
@@ -254,6 +257,7 @@ class HierarchicalCoAttentionNet(nn.Module):
                 int8_amax=self.int8_amax,
                 hpack_pool=self.hpack_pool,
                 fused_stem=self.fused_stem,
+                int8_handoff=self.int8_handoff,
                 remat=self.remat, dtype=self.dtype,
                 name="image_encoder")(x_img, train, use_running_stats)
 

@@ -194,6 +194,17 @@ class VGGFeatures(nn.Module):
     # chain; the off-TPU fallback reproduces the *fused* numerics, so the
     # flag (not the platform) decides the values.
     fused_stem: bool = False
+    # int8 handoff between CONSECUTIVE int8-XLA stages (conv2->3->4->5->6
+    # with the default set): quantize each stage's output with the NEXT
+    # stage's calibrated per-channel scales inside the fused conv epilogue
+    # and store int8 — the inter-stage map (and any 2x2 maxpool riding it,
+    # which commutes with the monotone quantize) moves through HBM at half
+    # the bytes, and the next stage skips its quantize read. Same numerics
+    # family as fused_stem: the handoff quantizes from f32 instead of a
+    # bf16-rounded store (tighter, not bit-equal to the unfused chain);
+    # pure XLA, so values are platform-independent by construction.
+    # Requires static per-channel calibration for both stages of each pair.
+    int8_handoff: bool = False
 
     @nn.compact
     def __call__(self, x, use_running_stats: bool = True):
@@ -201,6 +212,7 @@ class VGGFeatures(nn.Module):
         cfg = list(VGG11_CFG)
         conv_idx = 0
         idx = 0
+        xq_in = None   # int8 input pre-quantized by the previous handoff
         while idx < len(cfg):
             v = cfg[idx]
             if v == "M":
@@ -315,7 +327,15 @@ class VGGFeatures(nn.Module):
                     # because it is numerically tighter at zero cost, not
                     # because per-tensor measurably fails.)
                     w32 = kernel * s                          # fp32 [3,3,ci,co]
-                    if isinstance(s_x_static, tuple):
+                    if xq_in is not None:
+                        # input already quantized (and pooled) by the
+                        # previous stage's handoff epilogue with THIS
+                        # stage's s_c — skip the quantize, keep the fold
+                        s_c = jnp.asarray(s_x_static, jnp.float32)  # [ci]
+                        x_q, xq_in = xq_in, None
+                        w32 = w32 * s_c[None, None, :, None]
+                        s_out = 1.0
+                    elif isinstance(s_x_static, tuple):
                         s_c = jnp.asarray(s_x_static, jnp.float32)  # [ci]
                         x_q = jnp.clip(
                             jnp.round(x.astype(jnp.float32) / s_c),
@@ -340,8 +360,29 @@ class VGGFeatures(nn.Module):
                         preferred_element_type=jnp.int32)
                     b32 = (bias - ra_mean.value) * s + bn_bias  # fp32
                     y = acc.astype(jnp.float32) * (s_out * s_w) + b32
-                    x = nn.relu(y).astype(self.dtype)
-                    idx += 1
+                    s_next = self._handoff_scales(conv_idx + 1, v) \
+                        if isinstance(s_x_static, tuple) else None
+                    if s_next is not None:
+                        # int8 handoff (see the int8_handoff field note):
+                        # quantize for the next stage inside this epilogue;
+                        # the 2x2 maxpool (if any) then runs on int8 — the
+                        # same winner as pooling the f32 values, at half
+                        # the window-read bytes
+                        q = jnp.clip(
+                            jnp.round(nn.relu(y) /
+                                      jnp.asarray(s_next, jnp.float32)),
+                            -127, 127).astype(jnp.int8)
+                        if pool_next:
+                            q = jax.lax.reduce_window(
+                                q, jnp.array(-128, jnp.int8), jax.lax.max,
+                                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+                            idx += 2                          # conv + its 'M'
+                        else:
+                            idx += 1
+                        xq_in = x = q
+                    else:
+                        x = nn.relu(y).astype(self.dtype)
+                        idx += 1
                 else:
                     x = nn.relu(conv(x, w_f) + b_f)
                     idx += 1
@@ -377,6 +418,22 @@ class VGGFeatures(nn.Module):
                 x = jnp.max(x, axis=3)
             conv_idx += 1
         return x
+
+    def _handoff_scales(self, next_idx: int, out_ch: int):
+        """Next stage's per-channel quant scales, or None if the int8
+        handoff cannot engage (flag off, next stage not int8, no per-
+        channel calibration, or a calibration pass is recording amax —
+        the recorder must see f32 stage inputs, not int8)."""
+        if not (self.int8_handoff and next_idx in self.int8_stages
+                and self.int8_amax):
+            return None
+        if self.is_mutable_collection("quant_stats") \
+                and not self.is_initializing():
+            return None
+        a = self.int8_amax[self.int8_stages.index(next_idx)]
+        if not (isinstance(a, (tuple, list)) and len(a) == out_ch):
+            return None
+        return tuple(max(float(t), 1e-12) / 127.0 for t in a)
 
     def _take_fused_stem(self, x, use_running_stats: bool) -> bool:
         """Static routing decision for the fused conv0+conv1 stem.
@@ -468,6 +525,7 @@ class VGG11Encoder(nn.Module):
     int8_amax: tuple = ()
     hpack_pool: bool = False
     fused_stem: bool = False
+    int8_handoff: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -494,6 +552,7 @@ class VGG11Encoder(nn.Module):
                              int8_amax=self.int8_amax,
                              hpack_pool=self.hpack_pool,
                              fused_stem=self.fused_stem,
+                             int8_handoff=self.int8_handoff,
                              name="features")(x, use_running_stats)
         if self.include_head:
             x = adaptive_avg_pool(x, (7, 7))

@@ -64,6 +64,7 @@ class VQAPredictor:
                  int8_backbone: bool | None = None,
                  hpack_pool: bool = True,
                  fused_stem: bool = True,
+                 int8_handoff: bool = True,
                  int8_stages: tuple | None = None,
                  synthetic_images: bool = False, image_size: int | None = None):
         self.vocab = vocab
@@ -83,6 +84,7 @@ class VQAPredictor:
         self.model, cfg = build_model(model_name, vocab.size, num_classes,
                                       hpack_pool=hpack_pool,
                                       fused_stem=fused_stem,
+                                      int8_handoff=int8_handoff,
                                       int8_stages_override=int8_stages,
                                       opt_lvl=opt_lvl, use_pallas=use_pallas,
                                       int8_backbone=int8_backbone)

@@ -56,6 +56,7 @@ def image_tower(model_name: str, model, variables):
             conv0_pallas=model.conv0_pallas,
             int8_stages=model.int8_stages, int8_amax=model.int8_amax,
             hpack_pool=model.hpack_pool, fused_stem=model.fused_stem,
+            int8_handoff=model.int8_handoff,
             remat=model.remat, dtype=model.dtype)
         sub_params = variables["params"]["image_encoder"]
         sub_stats = variables.get("batch_stats", {}).get("image_encoder", {})
@@ -67,6 +68,7 @@ def image_tower(model_name: str, model, variables):
                            int8_amax=model.int8_amax,
                            hpack_pool=model.hpack_pool,
                            fused_stem=model.fused_stem,
+                           int8_handoff=model.int8_handoff,
                            remat=getattr(model, "remat", False),
                            dtype=model.dtype)
         vgg = variables["params"]["image_encoder"]["vgg11_encoder"]
