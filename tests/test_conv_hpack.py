@@ -57,6 +57,23 @@ class TestKernelNumerics:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=3e-7, atol=3e-7)
 
+    def test_interpret_int8_quant_out_handoff(self):
+        # s_next: the epilogue quantizes the pooled output with the next
+        # stage's per-channel scales and the store is int8
+        x, w, bias = _case((2, 16, 16), 8, 16, seed=2)
+        s_x = tuple(float(v) / 127.0 for v in np.linspace(1.0, 4.0, 8))
+        s_next = tuple(float(v) / 127.0 for v in np.linspace(0.5, 2.0, 16))
+        ref = _xla_reference_i8(x, w, bias, s_x=s_x, s_next=s_next)
+        out = conv_bn_relu_pool(x, w, bias, force="pallas", int8=True,
+                                s_x=s_x, s_next=s_next)
+        assert out.dtype == jnp.int8 and ref.dtype == jnp.int8
+        # int8 grids: FMA-contraction noise at a round() boundary may move
+        # a value one step; require near-total agreement
+        mismatch = (np.asarray(out) != np.asarray(ref))
+        assert mismatch.mean() < 1e-3
+        assert np.abs(np.asarray(out, np.int32)
+                      - np.asarray(ref, np.int32)).max() <= 1
+
     def test_cpu_default_uses_xla_path(self):
         x, w, bias = _case((1, 8, 8), 8, 8)
         np.testing.assert_array_equal(

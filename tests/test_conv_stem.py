@@ -68,6 +68,21 @@ class TestKernelNumerics:
                                       s_x1=s_x1), np.float32)
         assert np.abs(fused - unfused).max() < 24 * max(s_x1)
 
+    def test_quant_out_handoff_matches_fallback(self):
+        # s_next: conv1's pooled output stores int8, quantized with
+        # conv2's scales — compare the kernels against the XLA fallback
+        x, w0, b0, w1, b1, s_x0, s_x1 = _case(seed=5)
+        s_next = tuple(float(v) / 127.0 for v in np.linspace(0.5, 2.0, 128))
+        ref = _xla_reference(x, w0, b0, w1, b1, s_x0, s_x1, jnp.float32,
+                             s_next=s_next)
+        out = fused_stem(x, w0, b0, w1, b1, s_x0=s_x0, s_x1=s_x1,
+                         s_next=s_next, force="pallas")
+        assert out.dtype == jnp.int8 and ref.dtype == jnp.int8
+        mismatch = (np.asarray(out) != np.asarray(ref))
+        assert mismatch.mean() < 2e-3
+        assert np.abs(np.asarray(out, np.int32)
+                      - np.asarray(ref, np.int32)).max() <= 1
+
     def test_requires_per_channel_scales(self):
         x, w0, b0, w1, b1, s_x0, _ = _case()
         with pytest.raises(ValueError, match="static per-channel"):

@@ -56,6 +56,25 @@ class TestHandoffNumerics:
         b = np.asarray(f2.apply(vs, x, True), np.float32)
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
+    def test_full_chain_with_fused_stem(self):
+        # fused stem + conv1->conv2 quantizing epilogue + XLA handoffs:
+        # every inter-stage map from conv1's output to conv6's is int8
+        feats = VGGFeatures(conv0_pallas=True, hpack_pool=True,
+                            fused_stem=True, int8_handoff=True,
+                            int8_stages=STAGES, int8_amax=_amax(),
+                            dtype=jnp.bfloat16)
+        plain = VGGFeatures(conv0_pallas=True, hpack_pool=True,
+                            fused_stem=False, int8_handoff=False,
+                            int8_stages=STAGES, int8_amax=_amax(),
+                            dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3),
+                              jnp.float32)
+        vs = feats.init(jax.random.PRNGKey(1), x, True)
+        a = np.asarray(feats.apply(vs, x, True), np.float32)
+        b = np.asarray(plain.apply(vs, x, True), np.float32)
+        assert np.abs(a - b).max() < 0.15 * max(1.0, np.abs(b).max())
+        assert np.mean(np.abs(a - b)) < 0.02 * max(1.0, np.abs(b).max())
+
     def test_inert_without_amax(self):
         f1, vs, x = _features(True, int8_amax=())
         f2, _, _ = _features(False, int8_amax=())

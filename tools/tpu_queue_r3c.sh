@@ -33,6 +33,8 @@ import jax, jax.numpy as jnp
 x = jnp.ones((8,8)); print('tunnel OK', float((x@x).sum()))" ;;
   fuse)
     timeout 1800 python tools/exp_fuse01.py 2>&1 | tee /tmp/r3c_fuse.log | tail -3 ;;
+  ab)
+    timeout 2400 python tools/exp_stem_handoff.py 2>&1 | tee /tmp/r3c_ab.log | tail -2 ;;
   bench)
     timeout 1800 python bench.py 2>&1 | tee /tmp/r3c_bench.log | tail -2 ;;
   bench_eval)

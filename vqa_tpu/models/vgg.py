@@ -226,6 +226,8 @@ class VGGFeatures(nn.Module):
                 # unfused branches would create, so checkpoints, the
                 # converter, and calibration are all unaffected.
                 x = self._fused_stem(x)
+                if x.dtype == jnp.int8:
+                    xq_in = x             # handoff continues into conv2
                 idx += 4                  # conv0, 'M', conv1, 'M'
                 conv_idx += 2
                 continue
@@ -298,12 +300,15 @@ class VGGFeatures(nn.Module):
                     # stop_gradient everywhere: int8 stages exist only on
                     # the frozen backbone, and pallas_call has no vjp.
                     from ..ops.conv_hpack import conv_bn_relu_pool
+                    s_next = self._handoff_scales(conv_idx + 1, v)
                     x = conv_bn_relu_pool(
                         jax.lax.stop_gradient(x),
                         jax.lax.stop_gradient(kernel * s),
                         jax.lax.stop_gradient(
                             (bias - ra_mean.value) * s + bn_bias),
-                        int8=True, s_x=s_x_static)
+                        int8=True, s_x=s_x_static, s_next=s_next)
+                    if s_next is not None:
+                        xq_in = x         # int8 handoff into the next stage
                     idx += 2                                  # conv + its 'M'
                 elif conv_idx in self.int8_stages:
                     # int8 PTQ stage (tools/exp_int8_chain.py: 1.4-1.6x over
@@ -483,7 +488,10 @@ class VGGFeatures(nn.Module):
         return fused_stem(
             sg(x), sg(k0 * f0), sg((b0 - m0.value) * f0 + bb0),
             sg(k1 * f1), sg((b1 - m1.value) * f1 + bb1),
-            s_x0=sx0, s_x1=sx1)
+            s_x0=sx0, s_x1=sx1,
+            # continue the int8 handoff into conv2 when eligible: conv1's
+            # pooled output stores as int8 quantized with conv2's scales
+            s_next=self._handoff_scales(2, 128))
 
 
 class VGGClassifierHead(nn.Module):

@@ -101,8 +101,8 @@ def _pack_weights(w, dtype, variant="split"):
     return jnp.stack(taps).astype(dtype)              # [9, 2C, 2O]
 
 
-def _kernel(xp_ref, w_ref, sc_ref, b_ref, out_ref, *, r_blk, w_img, int8,
-            variant):
+def _kernel(xp_ref, w_ref, sc_ref, b_ref, *rest, r_blk, w_img, int8,
+            variant, quant_out=False):
     """One (sample, q'-block) -> pooled out [1, R, W/2, O].
 
     xp_ref [1, Q+2, W+2, 2C]: the whole padded packed sample, resident in
@@ -111,7 +111,13 @@ def _kernel(xp_ref, w_ref, sc_ref, b_ref, out_ref, *, r_blk, w_img, int8,
     sc_ref/b_ref [1, O] (sc = per-out-channel dequant scale, 1.0s for
     bf16). The pool's H-reduction is the max of the two phase
     accumulators (or the accumulator's two lane halves, 'merged').
+    ``quant_out``: rest = (inv_next_ref [1, O], out_ref) — the epilogue
+    quantizes the pooled f32 values with the NEXT stage's per-channel
+    scales (reciprocals) and the store is int8 (the inter-stage handoff,
+    models/vgg.py ``int8_handoff``).
     """
+    out_ref = rest[-1]
+    inv_next_ref = rest[0] if quant_out else None
     start = pl.program_id(1) * r_blk
     out_ch = out_ref.shape[-1]
     acct = jnp.int32 if int8 else jnp.float32
@@ -143,6 +149,8 @@ def _kernel(xp_ref, w_ref, sc_ref, b_ref, out_ref, *, r_blk, w_img, int8,
     # pool over W: [R, W, O] -> [R, W/2, 2, O] -> max over the pair dim
     # (sublane split; the minor dim stays put, so the reshape is legal)
     y = y.reshape(r_blk, w_img // 2, 2, out_ch).max(axis=2)
+    if quant_out:
+        y = jnp.clip(jnp.round(y * inv_next_ref[0][None, None]), -127, 127)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -160,15 +168,18 @@ def _pick_r_blk(q: int) -> int | None:
 
 
 @functools.partial(jax.jit, static_argnames=("int8", "s_x", "interpret",
-                                              "variant"))
+                                              "variant", "s_next"))
 def _conv_hpack(x, w, b, int8: bool = False, s_x=None,
-                interpret: bool = False, variant: str = "split"):
+                interpret: bool = False, variant: str = "split",
+                s_next=None):
     """x [B,H,W,C] -> maxpool2x2(relu(conv3x3(x, w) + b)) [B,H/2,W/2,O].
 
     ``w``/``b`` are the BN-folded weights (any float dtype). int8: quantize
     exactly like the int8-XLA stage in models/vgg.py (s_x: None = dynamic
     per-batch per-tensor amax; float = static per-tensor; tuple(len C) =
     static per-input-channel quant scales, folded into the weights).
+    ``s_next`` (tuple, len O): quantize the pooled output with the next
+    stage's per-channel scales and store int8 (the inter-stage handoff).
     """
     batch, h, wd, c = x.shape
     out_ch = w.shape[-1]
@@ -205,29 +216,38 @@ def _conv_hpack(x, w, b, int8: bool = False, s_x=None,
     xp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
     b_arg = b.astype(jnp.float32)[None]                       # [1, O]
 
+    args = [xp, w_taps, scale, b_arg]
+    in_specs = [
+        pl.BlockSpec((1,) + xp.shape[1:], lambda i, j: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w_taps.shape, lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(scale.shape, lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(b_arg.shape, lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_dtype = x.dtype
+    if s_next is not None:
+        inv_next = (1.0 / jnp.asarray(s_next, jnp.float32))[None]  # [1, O]
+        args.append(inv_next)
+        in_specs.append(pl.BlockSpec(inv_next.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_dtype = jnp.int8
     kernel = functools.partial(_kernel, r_blk=r_blk, w_img=wd, int8=int8,
-                               variant=variant)
+                               variant=variant, quant_out=s_next is not None)
     return pl.pallas_call(
         kernel,
         grid=(batch, q // r_blk),
-        in_specs=[
-            pl.BlockSpec((1,) + xp.shape[1:], lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_taps.shape, lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(scale.shape, lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(b_arg.shape, lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, r_blk, wd // 2, out_ch),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, q, wd // 2, out_ch), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, q, wd // 2, out_ch), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, w_taps, scale, b_arg)
+    )(*args)
 
 
 def _xla_reference(x, w, b):
@@ -240,9 +260,11 @@ def _xla_reference(x, w, b):
                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def _xla_reference_i8(x, w, b, s_x=None):
+def _xla_reference_i8(x, w, b, s_x=None, s_next=None):
     """int8 chain through plain XLA — the models/vgg.py int8 stage +
-    reduce_window, byte-for-byte the quantization the kernel implements."""
+    reduce_window, byte-for-byte the quantization the kernel implements.
+    ``s_next``: quantize the pooled f32 output with the next stage's
+    per-channel scales and return int8 (the handoff epilogue)."""
     w32 = w.astype(jnp.float32)
     if isinstance(s_x, tuple):
         s_c = jnp.asarray(s_x, jnp.float32)
@@ -264,12 +286,20 @@ def _xla_reference_i8(x, w, b, s_x=None):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     y = jax.nn.relu(acc.astype(jnp.float32) * (s_out * s_w) + b)
+    if s_next is not None:
+        # pool f32, then quantize (== the kernel's pooled-f32 quantize;
+        # the order also commutes — monotone)
+        y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return jnp.clip(jnp.round(y / jnp.asarray(s_next, jnp.float32)),
+                        -127, 127).astype(jnp.int8)
     return jax.lax.reduce_window(y.astype(x.dtype), -jnp.inf, jax.lax.max,
                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
 @functools.lru_cache()
-def _partitioned(int8: bool, interpret: bool, s_x=None, variant="split"):
+def _partitioned(int8: bool, interpret: bool, s_x=None, variant="split",
+                 s_next=None):
     """GSPMD batch-parallel wrapper (same design as conv_stage1.py:
     pallas_call has no SPMD rule, so without this a DP mesh would
     all-gather the conv input; weights/bias replicate, batch shards)."""
@@ -279,7 +309,7 @@ def _partitioned(int8: bool, interpret: bool, s_x=None, variant="split"):
 
     def call(x, w, b):
         return _conv_hpack(x, w, b, int8=int8, s_x=s_x, interpret=interpret,
-                           variant=variant)
+                           variant=variant, s_next=s_next)
 
     fn = custom_partitioning(call)
 
@@ -307,7 +337,7 @@ def _partitioned(int8: bool, interpret: bool, s_x=None, variant="split"):
 
 
 def conv_bn_relu_pool(x, w, b, *, force: str | None = None,
-                      int8: bool = False, s_x=None):
+                      int8: bool = False, s_x=None, s_next=None):
     """Pooled VGG stage: conv3x3(pad1) + (folded-BN) bias + ReLU + maxpool2x2.
 
     x [B, H, W, C], w [3, 3, C, O], b [O] -> [B, H/2, W/2, O]. BN must be
@@ -318,10 +348,14 @@ def conv_bn_relu_pool(x, w, b, *, force: str | None = None,
     ('pallas' | 'xla') overrides for tests/benchmarks; off-TPU, forced
     pallas runs in interpreter mode. ``s_x``: static calibrated activation
     scale for the int8 path (float per-tensor / length-C tuple
-    per-input-channel / None = dynamic per-batch amax).
+    per-input-channel / None = dynamic per-batch amax). ``s_next``
+    (int8 only; tuple, len O): quantize the pooled output with the next
+    stage's per-channel scales and return int8 — the inter-stage handoff
+    (models/vgg.py ``int8_handoff``).
     """
     import os
     _, h, wd, c = x.shape
+    assert s_next is None or int8, "s_next is an int8-chain handoff"
     force = force or os.environ.get("VQA_CONVP_FORCE") or None
     # 'split' (12 dots, 1.33x inflation) measured faster than 'merged'
     # (9 dots, 2x) at conv1 — env knob for A/B reruns
@@ -329,8 +363,8 @@ def conv_bn_relu_pool(x, w, b, *, force: str | None = None,
     supported = (w.shape[:2] == (3, 3) and h % 2 == 0 and wd % 2 == 0
                  and _pick_r_blk(h // 2) is not None)
     if force == "xla" or (force != "pallas" and not (supported and _on_tpu())):
-        return _xla_reference_i8(x, w, b, s_x=s_x) if int8 \
+        return _xla_reference_i8(x, w, b, s_x=s_x, s_next=s_next) if int8 \
             else _xla_reference(x, w, b)
     if not supported:
         raise ValueError(f"unsupported pooled-stage shape: x{x.shape} w{w.shape}")
-    return _partitioned(int8, not _on_tpu(), s_x, variant)(x, w, b)
+    return _partitioned(int8, not _on_tpu(), s_x, variant, s_next)(x, w, b)

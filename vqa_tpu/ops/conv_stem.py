@@ -136,13 +136,17 @@ def _conv0_i8_packed(x, w, b, s_x, s1, interpret: bool = False):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("s1", "out_dtype", "interpret"))
-def _hpack_from_packed(xp, w, b, s1, out_dtype, interpret: bool = False):
+                   static_argnames=("s1", "out_dtype", "interpret",
+                                    "s_next"))
+def _hpack_from_packed(xp, w, b, s1, out_dtype, interpret: bool = False,
+                       s_next=None):
     """hpack conv1 stage from a pre-quantized packed input [B, Q, W, 2C].
 
     Same kernel body as ops/conv_hpack ('split' variant); only the
     prologue differs — the input is already int8 H-pair packed, so the
-    activation quantize/pack collapses to the boundary pad.
+    activation quantize/pack collapses to the boundary pad. ``s_next``
+    (tuple, len O): quantize the pooled output with conv2's per-channel
+    scales and store int8 (the inter-stage handoff continues).
     """
     batch, q, wd, _ = xp.shape
     out_ch = w.shape[-1]
@@ -156,21 +160,30 @@ def _hpack_from_packed(xp, w, b, s1, out_dtype, interpret: bool = False):
 
     xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
     b_arg = b.astype(jnp.float32)[None]
+    args = [xpp, w_taps, scale, b_arg]
+    in_specs = [
+        pl.BlockSpec((1,) + xpp.shape[1:], lambda i, j: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w_taps.shape, lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(scale.shape, lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(b_arg.shape, lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if s_next is not None:
+        inv_next = (1.0 / jnp.asarray(s_next, jnp.float32))[None]  # [1, O]
+        args.append(inv_next)
+        in_specs.append(pl.BlockSpec(inv_next.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_dtype = jnp.int8
     kernel = functools.partial(chp._kernel, r_blk=r_blk, w_img=wd,
-                               int8=True, variant="split")
+                               int8=True, variant="split",
+                               quant_out=s_next is not None)
     return pl.pallas_call(
         kernel,
         grid=(batch, q // r_blk),
-        in_specs=[
-            pl.BlockSpec((1,) + xpp.shape[1:], lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_taps.shape, lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(scale.shape, lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(b_arg.shape, lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, r_blk, wd // 2, out_ch),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -179,10 +192,10 @@ def _hpack_from_packed(xp, w, b, s1, out_dtype, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xpp, w_taps, scale, b_arg)
+    )(*args)
 
 
-def _xla_reference(x, w0, b0, w1, b1, s_x0, s_x1, out_dtype):
+def _xla_reference(x, w0, b0, w1, b1, s_x0, s_x1, out_dtype, s_next=None):
     """The fused numerics through plain XLA (fallback + parity oracle).
 
     Stage 0 in f32 end-to-end (matching the kernel's f32 epilogue —
@@ -191,11 +204,12 @@ def _xla_reference(x, w0, b0, w1, b1, s_x0, s_x1, out_dtype):
     references implement exactly these two pieces.
     """
     y0 = cs1._xla_reference_i8(x.astype(jnp.float32), w0, b0, s_x=s_x0)
-    return chp._xla_reference_i8(y0, w1, b1, s_x=s_x1).astype(out_dtype)
+    out = chp._xla_reference_i8(y0, w1, b1, s_x=s_x1, s_next=s_next)
+    return out if s_next is not None else out.astype(out_dtype)
 
 
 @functools.lru_cache()
-def _partitioned(s_x0, s_x1, out_dtype, interpret: bool):
+def _partitioned(s_x0, s_x1, out_dtype, interpret: bool, s_next=None):
     """GSPMD batch-parallel wrapper (same design as conv_stage1/conv_hpack:
     pallas_call has no SPMD rule; weights/bias replicate, batch shards)."""
     from jax.experimental.custom_partitioning import custom_partitioning
@@ -205,7 +219,7 @@ def _partitioned(s_x0, s_x1, out_dtype, interpret: bool):
     def call(x, w0, b0, w1, b1):
         xp = _conv0_i8_packed(x, w0, b0, s_x0, s_x1, interpret=interpret)
         return _hpack_from_packed(xp, w1, b1, s_x1, out_dtype,
-                                  interpret=interpret)
+                                  interpret=interpret, s_next=s_next)
 
     fn = custom_partitioning(call)
 
@@ -253,17 +267,21 @@ def stem_supported(x_shape, w0_shape, w1_shape) -> bool:
     return chp._pick_r_blk(h // 4) is not None
 
 
-def fused_stem(x, w0, b0, w1, b1, *, s_x0, s_x1,
+def fused_stem(x, w0, b0, w1, b1, *, s_x0, s_x1, s_next=None,
                force: str | None = None):
     """VGG stem (conv0+BN+ReLU+pool, conv1+BN+ReLU+pool) in two Pallas
     kernels joined by a packed-int8 handoff — no intermediate bf16 map.
 
     x [B, H, W, C] -> [B, H/4, W/4, 128]. ``w*``/``b*`` are the BN-folded
     weights; ``s_x0``/``s_x1`` the static per-input-channel quant-scale
-    tuples for the two stages (mandatory — see module docstring). Off-TPU
-    or on unsupported shapes, the identical-numerics XLA expression runs
-    instead, so a given --fused_stem setting is platform-independent.
-    ``force`` ('pallas' | 'xla') overrides for tests/benchmarks.
+    tuples for the two stages (mandatory — see module docstring).
+    ``s_next`` (tuple, len 128): quantize conv1's pooled output with
+    conv2's per-channel scales and return int8 — the inter-stage handoff
+    (models/vgg.py ``int8_handoff``) continues into the XLA int8 chain.
+    Off-TPU or on unsupported shapes, the identical-numerics XLA
+    expression runs instead, so a given --fused_stem setting is
+    platform-independent. ``force`` ('pallas' | 'xla') overrides for
+    tests/benchmarks.
     """
     import os
     force = force or os.environ.get("VQA_STEM_FORCE") or None
@@ -273,9 +291,10 @@ def fused_stem(x, w0, b0, w1, b1, *, s_x0, s_x1,
     supported = stem_supported(x.shape, w0.shape, w1.shape)
     if force == "xla" or (force != "pallas"
                           and not (supported and cs1._on_tpu())):
-        return _xla_reference(x, w0, b0, w1, b1, s_x0, s_x1, x.dtype)
+        return _xla_reference(x, w0, b0, w1, b1, s_x0, s_x1, x.dtype,
+                              s_next=s_next)
     if not supported:
         raise ValueError(f"unsupported stem shape: x{x.shape} "
                          f"w0{w0.shape} w1{w1.shape}")
-    return _partitioned(s_x0, s_x1, x.dtype,
-                        not cs1._on_tpu())(x, w0, b0, w1, b1)
+    return _partitioned(s_x0, s_x1, x.dtype, not cs1._on_tpu(),
+                        s_next)(x, w0, b0, w1, b1)
