@@ -93,10 +93,14 @@ def _kernel_i8_packed(xp_ref, w_ref, scale_ref, inv_s1_ref, b_ref, out_ref,
         y = jnp.maximum(y + b_ref[:][None], 0.0)
         # quantize for conv1 while O is still on sublanes ([O,1] bcast),
         # then the known-good lane transpose, then the pair interleave as
-        # an even/odd leading-dim slice + lane concat (64+64 = 128 lanes)
+        # a leading-dim [R//2, 2] reshape split + lane concat (64+64 =
+        # 128 lanes). A strided slice qt[0::2] lowers to a >2D gather,
+        # which Mosaic rejects; the leading split reshape (last two dims
+        # untouched) is supported.
         q = jnp.clip(jnp.round(y * inv_s1_ref[:][None]), -127, 127)
         qt = q.transpose(0, 2, 1)                         # [R, Wo, O] f32
-        pair = jnp.concatenate([qt[0::2], qt[1::2]], axis=-1)
+        qp = qt.reshape(r_blk // 2, 2, wo, out_ch)
+        pair = jnp.concatenate([qp[:, 0], qp[:, 1]], axis=-1)
         out_ref[0, pl.ds(blk * (r_blk // 2), r_blk // 2), :, :] = \
             pair.astype(jnp.int8)
 
@@ -214,9 +218,11 @@ def main():
     s_x = tuple(float(v) for v in
                 np.maximum(np.abs(np.asarray(x, np.float32))
                            .reshape(-1, 3).max(0), 1e-12) / 127.0)
-    # conv1 input scales: amax of the conv0 chain output per channel
+    # conv1 input scales: amax of the conv0 chain output per channel.
+    # Calibrate on a small slice — the full-batch f32 map is 12.8GB at
+    # b160@448 and OOMs the v5e; 8 images matches --int8_calib 8.
     y0_f32 = np.asarray(cs1._xla_reference(
-        x.astype(jnp.float32), w0, b0), np.float32)
+        x[: min(8, b)].astype(jnp.float32), w0, b0), np.float32)
     s1 = tuple(float(v) for v in
                np.maximum(y0_f32.reshape(-1, 64).max(0), 1e-12) / 127.0)
 

@@ -70,10 +70,14 @@ def _kernel_conv0_packed(xp_ref, w_ref, scale_ref, inv_s1_ref, b_ref,
         y = jnp.maximum(y + b_ref[:][None], 0.0)
         # quantize for conv1 while O is still on sublanes ([O,1] bcast),
         # then the known-good lane transpose, then the pair interleave as
-        # an even/odd leading-dim slice + lane concat (64+64 = 128 lanes)
+        # a leading-dim [R//2, 2] reshape split + lane concat (64+64 =
+        # 128 lanes). A strided slice qt[0::2] lowers to a >2D gather,
+        # which Mosaic rejects ("Only 2D gather is supported"); the
+        # leading split reshape (last two dims untouched) is supported.
         q = jnp.clip(jnp.round(y * inv_s1_ref[:][None]), -127, 127)
         qt = q.transpose(0, 2, 1)                         # [R, Wo, O] f32
-        pair = jnp.concatenate([qt[0::2], qt[1::2]], axis=-1)
+        qp = qt.reshape(r_blk // 2, 2, wo, out_ch)
+        pair = jnp.concatenate([qp[:, 0], qp[:, 1]], axis=-1)
         out_ref[0, pl.ds(blk * (r_blk // 2), r_blk // 2), :, :] = \
             pair.astype(jnp.int8)
 
