@@ -28,6 +28,8 @@ methodology). Override via env:
 - ``BENCH_PALLAS`` ('1' routes co-attention through the fused Pallas kernel)
 - ``BENCH_CONV0`` ('0' disables the fused Pallas stage-1 VGG conv)
 - ``BENCH_INT8`` ('1' enables the int8-PTQ frozen backbone, --int8_backbone)
+- ``BENCH_FUSED`` ('0' disables the fused conv0->conv1 stem, --fused_stem,
+  for same-session A/B against the two-kernel chain)
 - ``BENCH_WORKERS`` (pipeline/decode host decode threads, default 4)
 - ``BENCH_BASELINE_QPS`` (default 400.0)
 """
@@ -207,7 +209,8 @@ def main():
     model, _ = build_model(model_name, vocab_size, num_classes, opt_lvl=1,
                            use_pallas=use_pallas, conv0_pallas=conv0_pallas,
                            int8_backbone=None if "BENCH_INT8" not in os.environ
-                           else os.environ["BENCH_INT8"] == "1")
+                           else os.environ["BENCH_INT8"] == "1",
+                           fused_stem=os.environ.get("BENCH_FUSED") != "0")
 
     rng = jax.random.PRNGKey(0)
     img = jax.random.normal(rng, (batch, image_size, image_size, 3), jnp.float32)
