@@ -109,7 +109,7 @@ class TestNumerics:
 
         model, _ = build_model("baseline", 30, 4, int8_backbone=True,
                                conv0_pallas=False)
-        assert model.int8_stages == (2, 3, 4, 5, 6)
+        assert model.int8_stages == (2, 3, 4, 5, 6, 7)
         x = np.random.default_rng(0).integers(
             0, 255, (2, 32, 32, 3), np.uint8)
         img = jnp.zeros((1, 32, 32, 3), jnp.float32)
@@ -122,9 +122,10 @@ class TestNumerics:
 
         calibrated = calibrate_model("baseline", model, variables, preprocess,
                                      [x], log_dir=str(tmp_path), log=lambda s: None)
-        assert len(calibrated.int8_amax) == 5
-        # per-channel tuples; VGG stage input widths for stages 2-6
-        assert [len(a) for a in calibrated.int8_amax] == [128, 256, 256, 512, 512]
+        assert len(calibrated.int8_amax) == 6
+        # per-channel tuples; VGG stage input widths for stages 2-7
+        assert [len(a) for a in calibrated.int8_amax] == [128, 256, 256, 512,
+                                                          512, 512]
         assert all(min(a) >= 0 and max(a) > 0 for a in calibrated.int8_amax)
         assert load_calib(str(tmp_path), model.int8_stages) \
             == calibrated.int8_amax
@@ -168,15 +169,15 @@ class TestWiring:
         # conv0 included via the fused Pallas int8 kernel (default-on);
         # conv1 joined in late r3 via the hpack kernel (PTQ drift gate
         # passed, BASELINE.md r3 cont.)
-        assert model.int8_stages == (0, 1, 2, 3, 4, 5, 6)
+        assert model.int8_stages == (0, 1, 2, 3, 4, 5, 6, 7)
         model, _ = build_model("attention", 30, 4, int8_backbone=True,
                                hpack_pool=False)
         # without the hpack kernel conv1 reverts to bf16 XLA (the int8-XLA
         # chain loses at 64ch)
-        assert model.int8_stages == (0, 2, 3, 4, 5, 6)
+        assert model.int8_stages == (0, 2, 3, 4, 5, 6, 7)
         model, _ = build_model("attention", 30, 4, int8_backbone=True,
                                conv0_pallas=False)
-        assert model.int8_stages == (2, 3, 4, 5, 6)
+        assert model.int8_stages == (2, 3, 4, 5, 6, 7)
         model, _ = build_model("baseline", 30, 4)
         assert model.int8_stages == ()
 
@@ -192,7 +193,7 @@ class TestWiring:
         assert model.int8_stages == ()
         model, _ = build_model("baseline", 30, 4, opt_lvl=0,
                                int8_backbone=True)
-        assert model.int8_stages == (0, 1, 2, 3, 4, 5, 6)
+        assert model.int8_stages == (0, 1, 2, 3, 4, 5, 6, 7)
 
     def test_rejects_trainable_vgg(self):
         with pytest.raises(ValueError, match="frozen"):

@@ -152,7 +152,7 @@ class TestInt8Sidecar:
         p = VQAPredictor("baseline", vocab, ckpt, batch_size=2,
                          synthetic_images=True, image_size=32,
                          int8_backbone=True)
-        assert p.model.int8_stages == (0, 1, 2, 3, 4, 5, 6)
+        assert p.model.int8_stages == (0, 1, 2, 3, 4, 5, 6, 7)
         assert not p.model.int8_amax  # dynamic per-batch scales
         assert "no int8_calib.json" in capsys.readouterr().out
 
@@ -160,11 +160,12 @@ class TestInt8Sidecar:
         from vqa_tpu.train.calibrate import save_calib
 
         vocab, ckpt = self._ckpt(setup, str(tmp_path))
-        # per-input-channel amax for the default stage set (0,1,2,3,4,5,6):
-        # VGG-11 stage input widths 3,64,128,256,256,512,512
+        # per-input-channel amax for the default stage set (0..7):
+        # VGG-11 stage input widths 3,64,128,256,256,512,512,512
         amax = tuple(tuple(1.0 + i / 10.0 for _ in range(c))
-                     for i, c in enumerate((3, 64, 128, 256, 256, 512, 512)))
-        save_calib(str(tmp_path), (0, 1, 2, 3, 4, 5, 6), amax)
+                     for i, c in enumerate((3, 64, 128, 256, 256, 512, 512,
+                                            512)))
+        save_calib(str(tmp_path), (0, 1, 2, 3, 4, 5, 6, 7), amax)
         p = VQAPredictor("baseline", vocab, ckpt, batch_size=2,
                          synthetic_images=True, image_size=32,
                          int8_backbone=True)

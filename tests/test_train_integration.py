@@ -303,8 +303,8 @@ class TestTestMode:
                   "--log_interval", "100"] + common)
         log_dir = os.path.join(expt, "e", "r")
         calib = json.load(open(os.path.join(log_dir, "int8_calib.json")))
-        assert calib["stages"] == [0, 1, 2, 3, 4, 5, 6]
-        assert len(calib["amax"]) == 7
+        assert calib["stages"] == [0, 1, 2, 3, 4, 5, 6, 7]
+        assert len(calib["amax"]) == 8
         # per-channel lists; individual channels may be dead (amax 0)
         assert all(isinstance(a, list) and min(a) >= 0 and max(a) > 0
                    for a in calib["amax"])

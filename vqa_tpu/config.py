@@ -129,8 +129,13 @@ def build_model(model_name: str, vocab_size: int, num_classes: int, *,
     # r3 cont.). Falls back to bf16 XLA when hpack is disabled (see the
     # stage-set adjustment below) so --hpack_pool false never routes conv1
     # through the losing int8-XLA chain.
+    # conv7 joined in late r3: the int8-XLA conv7 chain measures 4.82ms
+    # vs 6.14 bf16 with static per-channel scales (the r2 "conv7 is a
+    # wash" verdict was pre-static-calibration), and its PTQ drift gate
+    # passed — the converged K=12 checkpoint evals 90.50% with stages
+    # (0..7), identical to bf16's 90.50 (BASELINE.md r3 cont.).
     int8_stages = () if not int8_backbone else (
-        (0, 1, 2, 3, 4, 5, 6) if conv0_pallas else (2, 3, 4, 5, 6))
+        (0, 1, 2, 3, 4, 5, 6, 7) if conv0_pallas else (2, 3, 4, 5, 6, 7))
     if not hpack_pool:
         # conv1 is int8-profitable ONLY through the hpack kernel; with the
         # kernel opted out, the default set reverts to the r3-early set so
