@@ -34,8 +34,12 @@ def _run_bench(monkeypatch, capsys, **env):
 
 def test_cached_mode_smoke(monkeypatch, capsys):
     rec = _run_bench(monkeypatch, capsys, BENCH_MODE="cached",
-                     BENCH_MODEL="baseline", BENCH_BATCH="2", BENCH_STEPS="2")
+                     BENCH_MODEL="baseline", BENCH_BATCH="2", BENCH_STEPS="2",
+                     BENCH_WINDOWS="2")
     assert rec["metric"].startswith("cached_qa_pairs_per_sec_baseline")
+    # multi-window contract: headline = fastest window, spread stays visible
+    assert len(rec["windows"]) == 2
+    assert rec["value"] == max(rec["windows"])
 
 
 @pytest.mark.slow
