@@ -11,10 +11,25 @@ estimate recorded in BASELINE.md (400 QA-pairs/sec; see there for the
 methodology). Override via env:
 
 - ``BENCH_BATCH`` (default 160), ``BENCH_STEPS`` (default 20)
-- ``BENCH_WINDOWS`` (default 3): train/eval modes time this many back-to-back
-  windows of BENCH_STEPS and report the FASTEST (tunnel/host interference
-  only ever subtracts throughput; the max is the least-perturbed estimate).
-  All window values are recorded in the JSON line as ``windows``.
+- ``BENCH_WINDOWS`` (default 3): train/eval/cached modes time this many
+  back-to-back windows of BENCH_STEPS and report the FASTEST (tunnel/host
+  interference only ever subtracts throughput; the max is the
+  least-perturbed estimate). All window values are recorded in the JSON
+  line as ``windows``. pipeline/decode modes are single-window and emit no
+  ``windows`` key. A JSON line is printed (flushed) after EVERY window —
+  the driver parses the LAST line, so a run killed mid-benchmark still
+  leaves the best-so-far result on stdout.
+- ``BENCH_BUDGET_S`` (default 900): wall-clock budget measured from process
+  start. Remaining windows are skipped once the budget would be exceeded,
+  and if startup (compiles) already ate the budget the single remaining
+  window degrades to <=10 steps — the harness prints a line no matter how
+  slow the tunnel session is, instead of timing out with no output.
+- ``BENCH_CALIB`` ('0' forces live int8 calibration instead of the
+  committed ``tools/bench_calib.json`` sidecar; 'save' runs live
+  calibration and writes that sidecar). The sidecar replays the production
+  load-static-scales path and removes one full 448^2 tower compile from
+  the driver's critical path; scale VALUES are compile-time constants, so
+  timing is identical either way.
 - ``BENCH_MODEL`` ('attention' | 'baseline' | 'bert')
 - ``BENCH_MODE``:
   * 'train' (default) / 'eval': device-resident synthetic batches — pure
@@ -44,10 +59,50 @@ import json
 import os
 import time
 
+_T0 = time.perf_counter()  # budget clock: starts before the jax import cost
+
+# Persistent compilation cache: if the backend honors it, a bench run primes
+# the cache for the driver's end-of-round run on the same host (no-op where
+# unsupported — e.g. if the axon tunnel compiles server-side).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vqa_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import jax
 import jax.numpy as jnp
 
 REFERENCE_BASELINE_QPS = float(os.environ.get("BENCH_BASELINE_QPS", 400.0))
+BENCH_CALIB_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tools", "bench_calib.json")
+
+
+def _emit(rec: dict) -> None:
+    """Print one JSON result line, flushed (a killed run keeps prior lines)."""
+    print(json.dumps(rec), flush=True)
+
+
+def _budget_left() -> float:
+    return float(os.environ.get("BENCH_BUDGET_S", 900)) - (
+        time.perf_counter() - _T0)
+
+
+def _bench_calib_amax(model_name: str, int8_stages: tuple):
+    """Committed static-scale sidecar for the synthetic bench config.
+
+    Returns the amax tuple when tools/bench_calib.json matches
+    (model, stage set), else None -> caller calibrates live. BENCH_CALIB=0
+    forces live calibration (the values are jit-static constants either
+    way, so throughput is identical; the sidecar only skips one compile)."""
+    if os.environ.get("BENCH_CALIB", "1") == "0":
+        return None
+    try:
+        with open(BENCH_CALIB_FILE) as f:
+            data = json.load(f)
+        entry = data[model_name]
+        if tuple(entry["stages"]) != tuple(int8_stages):
+            return None
+        return tuple(tuple(float(x) for x in v) for v in entry["amax"])
+    except (OSError, KeyError, ValueError):
+        return None
 
 
 def _ensure_dataset(data_dir: str, n_pairs: int) -> None:
@@ -86,14 +141,14 @@ def bench_decode():
         dt = time.perf_counter() - t0
         assert out.shape == (len(paths), 224, 224, 3) and out.dtype == np.uint8
         rates[backend] = len(paths) / dt
-    print(json.dumps({
+    _emit({
         "metric": f"decode_images_per_sec_native_w{workers}",
         "value": round(rates["native"], 2),
         "unit": "images_per_sec",
         "pil_images_per_sec": round(rates["pil"], 2),
         "native_mp_images_per_sec": round(rates["native_mp"], 2),
         "vs_baseline": round(rates["native"] / rates["pil"], 3),
-    }))
+    })
 
 
 def bench_pipeline(model_name: str, batch: int, steps: int, use_pallas: bool,
@@ -178,14 +233,14 @@ def bench_pipeline(model_name: str, batch: int, steps: int, use_pallas: bool,
     dt = time.perf_counter() - t0
     qps = batch * steps / dt
     int8 = os.environ.get("BENCH_INT8") == "1"
-    print(json.dumps({
+    _emit({
         "metric": f"pipeline_train_qa_pairs_per_sec_{model_name}_b{batch}"
                   f"_w{workers}{'_int8' if int8 else ''}",
         "value": round(qps, 2),
         "unit": "qa_pairs_per_sec",
         "input_stall_fraction": round(stall / dt, 3),
         "vs_baseline": round(qps / REFERENCE_BASELINE_QPS, 3),
-    }))
+    })
 
 
 def main():
@@ -227,11 +282,26 @@ def main():
     if model.int8_stages and os.environ.get("BENCH_INT8_DYNAMIC") != "1":
         # static calibrated activation scales (the production int8 path;
         # BENCH_INT8_DYNAMIC=1 keeps the r2 per-batch dynamic scales for A/B)
-        from vqa_tpu.train.calibrate import (amax_tuple, collect_amax,
-                                             image_tower)
-        enc, sub_vars = image_tower(model_name, model, state.variables())
-        amax = collect_amax(enc, sub_vars, [img[: min(batch, 32)]])
-        model = model.clone(int8_amax=amax_tuple(model.int8_stages, amax))
+        amax = _bench_calib_amax(model_name, model.int8_stages)
+        if amax is None:
+            # live calibration: one tower forward at b8 (small shape keeps
+            # the extra compile short; amax values are static constants, so
+            # the timed program is identical to the sidecar path)
+            from vqa_tpu.train.calibrate import (amax_tuple, collect_amax,
+                                                 image_tower)
+            enc, sub_vars = image_tower(model_name, model, state.variables())
+            raw = collect_amax(enc, sub_vars, [img[: min(batch, 8)]])
+            amax = amax_tuple(model.int8_stages, raw)
+            if os.environ.get("BENCH_CALIB") == "save":
+                data = {}
+                if os.path.exists(BENCH_CALIB_FILE):
+                    with open(BENCH_CALIB_FILE) as f:
+                        data = json.load(f)
+                data[model_name] = {"stages": list(model.int8_stages),
+                                    "amax": [list(a) for a in amax]}
+                with open(BENCH_CALIB_FILE, "w") as f:
+                    json.dump(data, f)
+        model = model.clone(int8_amax=amax)
     device_batch = {"image": img, "question": ques, "ques_len": lens, "label": labels}
     if mode == "cached":
         # frozen-tower feature-cache training (--cache_features): the image
@@ -248,50 +318,61 @@ def main():
     # sync via host fetch: the axon PJRT tunnel's block_until_ready returns
     # before remote execution completes; a value read is the only barrier
     n_windows = max(1, int(os.environ.get("BENCH_WINDOWS", 3)))
-    window_qps = []
     if mode == "eval":
         from vqa_tpu.train.steps import make_eval_step
 
         eval_step = make_eval_step(model)
         variables = state.variables()
-        for _ in range(3):
-            m = eval_step(variables, device_batch)
-        float(m["loss"])
-        for _ in range(n_windows):
+
+        def run_window(n):
+            nonlocal variables
             t0 = time.perf_counter()
-            for _ in range(steps):
+            for _ in range(n):
                 m = eval_step(variables, device_batch)
             # device execution is in-order: the last step's loss completes
             # after every queued step, so one fetch barriers all of them
             float(m["loss"])
-            window_qps.append(batch * steps / (time.perf_counter() - t0))
+            return time.perf_counter() - t0
     else:
         tx = make_optimizer(1e-4, state.params, vgg_trainable=False)
         train_step = make_train_step(model, tx, donate=True,
                                      image_is_features=(mode == "cached"))
-        for _ in range(3):
-            state, metrics = train_step(state, device_batch)
-        float(metrics["loss"])
-        for _ in range(n_windows):
+
+        def run_window(n):
+            nonlocal state
             t0 = time.perf_counter()
-            for _ in range(steps):
+            for _ in range(n):
                 state, metrics = train_step(state, device_batch)
             float(metrics["loss"])  # final loss depends on every prior step
-            window_qps.append(batch * steps / (time.perf_counter() - t0))
+            return time.perf_counter() - t0
 
-    # max over windows: transient tunnel/host interference only ever lowers a
-    # window's throughput, so the fastest window is the least-biased estimate
-    # of steady-state device rate (spread across windows stays visible below)
-    qps = max(window_qps)
+    run_window(2)  # warmup: first call compiles; second runs the real step
+    # If startup (compiles, calibration, imports) already blew the budget,
+    # shrink the one guaranteed window so a line still prints promptly.
+    if _budget_left() <= 0:
+        steps = min(steps, 10)
     int8 = os.environ.get("BENCH_INT8") == "1"
-    print(json.dumps({
-        "metric": f"{mode}_qa_pairs_per_sec_{model_name}_b{batch}"
-                  f"{'_pallas' if use_pallas else ''}{'_int8' if int8 else ''}",
-        "value": round(qps, 2),
-        "unit": "qa_pairs_per_sec",
-        "windows": [round(q, 2) for q in window_qps],
-        "vs_baseline": round(qps / REFERENCE_BASELINE_QPS, 3),
-    }))
+    metric = (f"{mode}_qa_pairs_per_sec_{model_name}_b{batch}"
+              f"{'_pallas' if use_pallas else ''}{'_int8' if int8 else ''}")
+    window_qps = []
+    for w in range(n_windows):
+        # the first window always runs; later ones must fit in the budget
+        # (estimated from the previous window, with headroom for the fetch)
+        if w > 0 and _budget_left() < 1.5 * (batch * steps / window_qps[-1]):
+            break
+        window_qps.append(batch * steps / run_window(steps))
+        # max over windows: transient tunnel/host interference only ever
+        # lowers a window's throughput, so the fastest window is the least-
+        # biased estimate of steady-state device rate; one line per window
+        # (the driver parses the LAST complete line — a timeout mid-window
+        # still leaves the best-so-far result on stdout)
+        _emit({
+            "metric": metric,
+            "value": round(max(window_qps), 2),
+            "unit": "qa_pairs_per_sec",
+            "windows": [round(q, 2) for q in window_qps],
+            "vs_baseline": round(max(window_qps) / REFERENCE_BASELINE_QPS, 3),
+        })
 
 
 if __name__ == "__main__":

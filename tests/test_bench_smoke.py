@@ -29,6 +29,7 @@ def _run_bench(monkeypatch, capsys, **env):
     rec = json.loads(lines[-1])
     assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["value"] > 0
+    rec["_n_json_lines"] = len(lines)
     return rec
 
 
@@ -37,9 +38,22 @@ def test_cached_mode_smoke(monkeypatch, capsys):
                      BENCH_MODEL="baseline", BENCH_BATCH="2", BENCH_STEPS="2",
                      BENCH_WINDOWS="2")
     assert rec["metric"].startswith("cached_qa_pairs_per_sec_baseline")
-    # multi-window contract: headline = fastest window, spread stays visible
+    # multi-window contract: headline = fastest window, spread stays visible,
+    # and one JSON line streams out per completed window (the driver parses
+    # the last one — a timeout mid-run must still leave a parseable result)
     assert len(rec["windows"]) == 2
     assert rec["value"] == max(rec["windows"])
+    assert rec["_n_json_lines"] == 2
+
+
+def test_budget_degrade_still_prints(monkeypatch, capsys):
+    # a budget that is already exhausted at startup must still produce one
+    # (shrunk) window and one JSON line rather than timing out silently
+    rec = _run_bench(monkeypatch, capsys, BENCH_MODE="cached",
+                     BENCH_MODEL="baseline", BENCH_BATCH="2",
+                     BENCH_STEPS="50", BENCH_WINDOWS="3", BENCH_BUDGET_S="0")
+    assert len(rec["windows"]) == 1
+    assert rec["_n_json_lines"] == 1
 
 
 @pytest.mark.slow
