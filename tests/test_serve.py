@@ -127,8 +127,9 @@ class TestServeFromTrainedCheckpoint:
 class TestInt8Sidecar:
     """Serving with --int8_backbone: static scales load from the
     checkpoint's int8_calib.json sidecar (serve.py:VQAPredictor.__init__);
-    without one, the predictor falls back to dynamic per-batch scales with
-    a printed NOTE (batch-dependent predictions, BASELINE.md r3)."""
+    without one they auto-calibrate from the first request batch (or an
+    explicit --calib_file); dynamic per-batch scales only behind
+    --int8_dynamic (batch-dependent predictions, BASELINE.md r3)."""
 
     def _ckpt(self, setup, run_dir):
         import jax
@@ -147,14 +148,54 @@ class TestInt8Sidecar:
         state = create_train_state(model, jax.random.PRNGKey(0), init, 1e-3)
         return vocab, save_checkpoint(state, run_dir, 1)
 
-    def test_dynamic_fallback_prints_note(self, setup, tmp_path, capsys):
+    def test_dynamic_fallback_behind_explicit_flag(self, setup, tmp_path,
+                                                   capsys):
+        vocab, ckpt = self._ckpt(setup, str(tmp_path))
+        p = VQAPredictor("baseline", vocab, ckpt, batch_size=2,
+                         synthetic_images=True, image_size=32,
+                         int8_backbone=True, int8_dynamic=True)
+        assert p.model.int8_stages == (0, 1, 2, 3, 4, 5, 6, 7)
+        assert not p.model.int8_amax  # dynamic per-batch scales
+        assert not p._needs_calib
+        assert "dynamic per-batch" in capsys.readouterr().out
+
+    def test_auto_calib_predictions_batch_invariant(self, setup, tmp_path,
+                                                    capsys):
+        """No sidecar + int8 on: static scales bake from the FIRST request
+        batch, so a sample's prediction no longer depends on its batchmates
+        (the r3 VERDICT serve gap)."""
         vocab, ckpt = self._ckpt(setup, str(tmp_path))
         p = VQAPredictor("baseline", vocab, ckpt, batch_size=2,
                          synthetic_images=True, image_size=32,
                          int8_backbone=True)
-        assert p.model.int8_stages == (0, 1, 2, 3, 4, 5, 6, 7)
-        assert not p.model.int8_amax  # dynamic per-batch scales
-        assert "no int8_calib.json" in capsys.readouterr().out
+        assert p._needs_calib
+        assert "calibrated from the first request batch" in \
+            capsys.readouterr().out
+        a, b, c = (os.path.join(setup["root"], n)
+                   for n in ("a.jpg", "b.jpg", "c.jpg"))
+        q = "is,the,cat,black"
+        r_ab = p.predict([a, b], [q, q])[0]
+        assert p.model.int8_amax and not p._needs_calib
+        # same sample, different batchmate: identical output post-calibration
+        r_ac = p.predict([a, c], [q, q])[0]
+        assert r_ab["answer"] == r_ac["answer"]
+        np.testing.assert_allclose(r_ab["prob"], r_ac["prob"], atol=1e-6)
+
+    def test_explicit_calib_file(self, setup, tmp_path):
+        from vqa_tpu.train.calibrate import save_calib
+
+        run_dir = tmp_path / "run"
+        run_dir.mkdir()
+        vocab, ckpt = self._ckpt(setup, str(run_dir))
+        amax = tuple(tuple(1.0 + i / 10.0 for _ in range(ch))
+                     for i, ch in enumerate((3, 64, 128, 256, 256, 512, 512,
+                                             512)))
+        side = save_calib(str(tmp_path), (0, 1, 2, 3, 4, 5, 6, 7), amax)
+        p = VQAPredictor("baseline", vocab, ckpt, batch_size=2,
+                         synthetic_images=True, image_size=32,
+                         int8_backbone=True, calib_file=side)
+        assert p.model.int8_amax == amax
+        assert not p._needs_calib
 
     def test_sidecar_scales_load(self, setup, tmp_path):
         from vqa_tpu.train.calibrate import save_calib
@@ -182,4 +223,5 @@ class TestInt8Sidecar:
                          synthetic_images=True, image_size=32,
                          int8_backbone=True)
         assert not p.model.int8_amax
+        assert p._needs_calib  # stale sidecar -> first-batch auto-calib
         assert "no int8_calib.json" in capsys.readouterr().out

@@ -66,10 +66,14 @@ class VQAPredictor:
                  fused_stem: bool = True,
                  int8_handoff: bool = True,
                  int8_stages: tuple | None = None,
+                 calib_file: str | None = None,
+                 int8_dynamic: bool = False,
                  synthetic_images: bool = False, image_size: int | None = None):
         self.vocab = vocab
+        self.model_name = model_name
         self.batch_size = batch_size
         self.synthetic_images = synthetic_images
+        self._needs_calib = False
 
         loaded = None
         if checkpoint:
@@ -88,18 +92,32 @@ class VQAPredictor:
                                       int8_stages_override=int8_stages,
                                       opt_lvl=opt_lvl, use_pallas=use_pallas,
                                       int8_backbone=int8_backbone)
-        if self.model.int8_stages and checkpoint:
-            # serve with the checkpoint's training-time static quantization
-            # scales when the run dir carries the calibration sidecar
+        if self.model.int8_stages:
+            # static-scale resolution order: (1) the checkpoint's
+            # training-time sidecar, (2) an explicit --calib_file, (3) bake
+            # scales from the first request batch (mirrors main.py test
+            # mode's auto-PTQ) — predictions are batch-composition-invariant
+            # from the first answer on either way. Dynamic per-batch scales
+            # (r2 behavior) only behind the explicit --int8_dynamic flag.
             from .train.calibrate import load_calib
-            amax = load_calib(os.path.dirname(os.path.abspath(checkpoint)),
-                              self.model.int8_stages)
+            amax = None
+            if checkpoint:
+                amax = load_calib(os.path.dirname(os.path.abspath(checkpoint)),
+                                  self.model.int8_stages)
+            if amax is None and calib_file:
+                amax = self._load_calib_file(calib_file)
             if amax is not None:
                 self.model = self.model.clone(int8_amax=amax)
-            else:
+            elif int8_dynamic:
                 print("NOTE: no int8_calib.json next to the checkpoint; "
                       "int8 stages use dynamic per-batch activation scales "
                       "(predictions depend on batch composition)")
+            else:
+                self._needs_calib = True
+                print("NOTE: no int8_calib.json next to the checkpoint; "
+                      "static scales will be calibrated from the first "
+                      "request batch (pass --int8_dynamic for per-batch "
+                      "scales, or --calib_file for a curated sidecar)")
         self.image_size = image_size or cfg.image_size
         self.preprocess = make_image_preprocessor(self.image_size)
 
@@ -121,13 +139,42 @@ class VQAPredictor:
         else:
             self.variables = variables
 
+        self._fwd = self._make_fwd()
+
+    def _make_fwd(self):
         def fwd(variables, image, question, ques_len):
             logits = self.model.apply(variables, image, question, ques_len,
                                       train=False, use_running_stats=True)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return probs
 
-        self._fwd = jax.jit(fwd)
+        return jax.jit(fwd)
+
+    @staticmethod
+    def _load_calib_file(path: str) -> tuple:
+        """Explicit calibration sidecar (the save_calib JSON format).
+
+        Unlike the checkpoint-adjacent sidecar (silently skipped when its
+        stage set is stale), a user-named file that does not parse is an
+        error — wrong static scales are worse than no scales."""
+        with open(path) as f:
+            data = json.load(f)
+        return tuple(tuple(float(x) for x in v) if isinstance(v, list)
+                     else float(v) for v in data["amax"])
+
+    def _calibrate(self, images_u8) -> None:
+        """Bake static int8 scales from the first request batch and rebuild
+        the compiled forward (main.py test mode's auto-PTQ, applied to the
+        serving engine — subsequent predictions no longer depend on batch
+        composition)."""
+        from .train.calibrate import calibrate_model
+        print(f"int8 serve calibration: static per-channel scales from the "
+              f"first request batch ({len(images_u8)} images)")
+        self.model = calibrate_model(self.model_name, self.model,
+                                     self.variables, self.preprocess,
+                                     [images_u8], log=lambda s: None)
+        self._needs_calib = False
+        self._fwd = self._make_fwd()
 
     def encode_questions(self, questions: list[str]):
         """Raw question strings -> (ids [N, L], lengths [N])."""
@@ -155,6 +202,8 @@ class VQAPredictor:
             n = len(chunk_qs)
             images = decode_batch(chunk_paths, self.image_size,
                                   synthetic_fallback=self.synthetic_images)
+            if self._needs_calib:
+                self._calibrate(images)
             ids, lens = self.encode_questions(chunk_qs)
             # pad the batch to the compiled shape
             if n < bs:
@@ -198,6 +247,15 @@ def build_parser():
                          "overriding the measured default set — must match "
                          "the set the checkpoint's calibration sidecar was "
                          "built with if one is present")
+    ap.add_argument("--calib_file", type=str,
+                    help="explicit int8 calibration sidecar (the "
+                         "int8_calib.json format) when the checkpoint dir "
+                         "has none")
+    ap.add_argument("--int8_dynamic", action="store_true",
+                    help="use dynamic per-batch activation scales instead "
+                         "of auto-calibrating static ones from the first "
+                         "request batch (predictions then depend on batch "
+                         "composition)")
     ap.add_argument("--use_pallas", action="store_true")
     ap.add_argument("--synthetic_images", action="store_true")
     ap.add_argument("--image_size", type=int,
@@ -216,6 +274,7 @@ def main(argv=None):
                        "false": False}[args.int8_backbone],
         int8_stages=(None if args.int8_stages == "auto" else
                      tuple(int(i) for i in args.int8_stages.split(",") if i)),
+        calib_file=args.calib_file, int8_dynamic=args.int8_dynamic,
         synthetic_images=args.synthetic_images,
         image_size=args.image_size)
 
