@@ -89,9 +89,21 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.shard_index = shard_index
         self.num_shards = num_shards
+        if (decode_backend == "auto" and feature_cache is None
+                and not synthetic_images and num_workers > 1):
+            # real-data loaders resolve 'auto' to the process-pool decoder:
+            # it beat both thread-pool engines consistently in the r3
+            # measurements (BASELINE.md "decode engine scale-out" — the
+            # torch-DataLoader worker model, one single-threaded native
+            # decoder per process). One-shot decode_batch callers (serving)
+            # keep the lighter in-process thread pool.
+            from ..native import native_available
+            if native_available():
+                decode_backend = "native_mp"
         self.decode_backend = decode_backend
         self.num_workers = num_workers
         self._epoch = 0
+        self._skip_batches = 0
         # feature mode gathers memmap rows — no decode pool needed
         self._pool = ThreadPoolExecutor(num_workers) \
             if num_workers > 0 and feature_cache is None else None
@@ -102,18 +114,25 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
         """Position the shuffle sequence at ``epoch`` (resume support).
 
         The per-epoch order is a pure function of ``(seed, epoch)``
         (``_epoch_order``), so a resumed run that sets the epoch derived
         from the restored step (``step // steps_per_epoch``) sees the same
         epoch orders an uninterrupted run would — instead of silently
-        replaying epoch 0. Intra-epoch position is NOT restored: resume
-        granularity is the epoch (checkpoint at epoch boundaries, or accept
-        replaying the interrupted epoch's prefix).
+        replaying epoch 0.
+
+        ``skip_batches`` restores the intra-epoch position: the NEXT
+        iteration (only) fast-forwards past the first ``skip_batches``
+        batches of the deterministic epoch order — the batches the
+        interrupted run already trained on (``step % steps_per_epoch``) —
+        making a mid-epoch resume bit-exact instead of silently replaying
+        the epoch prefix. Subsequent epochs iterate in full. The skip is a
+        cheap index slice: skipped images are never decoded.
         """
         self._epoch = int(epoch)
+        self._skip_batches = int(skip_batches)
 
     def _epoch_order(self) -> np.ndarray:
         order = np.arange(len(self.samples))
@@ -152,6 +171,12 @@ class DataLoader:
         starts = [i * bs for i in range(n_full)]
         if not self.drop_last and n_full * bs < len(order):
             starts.append(n_full * bs)
+        if self._skip_batches:
+            # one-shot mid-epoch fast-forward (set_epoch's skip_batches):
+            # drop the batches the interrupted run already consumed; the
+            # following epochs iterate in full
+            starts = starts[self._skip_batches:]
+            self._skip_batches = 0
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

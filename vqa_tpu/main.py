@@ -109,15 +109,20 @@ def build_parser() -> argparse.ArgumentParser:
                         help="precision: 0=fp32, 1-3=bf16 compute (Apex O-level analog)")
 
     # Misc params (main.py:76)
-    parser.add_argument("--num_workers", type=int, default=1,
-                        help="number of worker threads for host image decode")
+    parser.add_argument("--num_workers", type=int, default=6,
+                        help="host image-decode workers (threads or "
+                             "native_mp processes; default mirrors the "
+                             "reference's published num_workers=6 envelope "
+                             "— feeding the int8 headline rate needs "
+                             "11-14 native processes, BASELINE.md r3)")
     parser.add_argument("--decode_backend", type=str, default="auto",
                         choices=["auto", "native", "pil", "native_mp"],
-                        help="host JPEG decode engine: auto = native C++ "
-                             "thread pool when built; native_mp = process "
-                             "pool of native decoders (torch-DataLoader "
-                             "worker model; wins on hosts where threads "
-                             "contend, BASELINE.md r3)")
+                        help="host JPEG decode engine: auto resolves to "
+                             "native_mp (process pool of native decoders, "
+                             "the torch-DataLoader worker model — measured "
+                             "fastest real-data engine, BASELINE.md r3) "
+                             "for real-data loaders with >1 worker, else "
+                             "the native C++ thread pool when built")
 
     # --- TPU-native extensions (not in the reference) ---
     parser.add_argument("--num_devices", type=int, default=1,
@@ -545,9 +550,14 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
 
     steps_per_epoch = len(train_loader)
     curr_step = int(state.step)
-    # resume: position the data order at the epoch the restored step lies in
-    # (epoch order is a pure function of (seed, epoch) — pipeline.set_epoch)
-    train_loader.set_epoch(curr_step // max(steps_per_epoch, 1))
+    # resume: position the data order at the exact batch the restored step
+    # points at — the epoch index selects the deterministic (seed, epoch)
+    # shuffle and skip_batches fast-forwards past the consumed prefix, so a
+    # mid-epoch resume sees the same remaining batches an uninterrupted run
+    # would (pipeline.set_epoch; beats the reference's weights-only resume,
+    # /root/reference/main.py:168-176, which restarts the data order)
+    train_loader.set_epoch(curr_step // max(steps_per_epoch, 1),
+                           skip_batches=curr_step % max(steps_per_epoch, 1))
     eta = ETAEstimator(steps_per_epoch, args.num_epochs, start_step=curr_step)
 
     from .train.checkpoint import AsyncCheckpointer
