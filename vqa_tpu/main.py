@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native extensions (not in the reference) ---
     parser.add_argument("--num_devices", type=int, default=1,
                         help="data-parallel devices in the mesh (1 = single chip)")
+    parser.add_argument("--force_mesh", type=str2bool, default="false",
+                        help="build the GSPMD data mesh even when "
+                             "--num_devices is 1 — runs the sharded code "
+                             "path (replicated state, sharded batch, mesh "
+                             "collectives) on a single chip, validating the "
+                             "multi-device program on real hardware")
     parser.add_argument("--use_pallas", type=str2bool, default="false",
                         help="fused Pallas co-attention kernel (attention model)")
     parser.add_argument("--synthetic_images", type=str2bool, default="false",
@@ -376,7 +382,8 @@ def main(argv=None):
     log_dir = os.path.join(args.expt_dir, args.expt_name, args.run_name)
     os.makedirs(log_dir, exist_ok=True)
 
-    mesh = get_mesh(args.num_devices) if args.num_devices > 1 else None
+    mesh = get_mesh(args.num_devices) \
+        if args.num_devices > 1 or args.force_mesh else None
 
     from .parallel.distributed import host_shard
     shard_index, num_shards = host_shard()
