@@ -47,8 +47,13 @@ def measure(bs: int, trials: int = 20):
     pred = VQAPredictor("attention", vocab, batch_size=bs, opt_lvl=1,
                         synthetic_images=True)
 
-    img = jnp.asarray(np.random.rand(bs, pred.image_size, pred.image_size, 3)
-                      .astype(np.float32))
+    # route through the predictor's own preprocessor (device resize/normalize
+    # on a uint8 batch) so device_call times EXACTLY the executable predict()
+    # dispatches — if the serve preprocessor's output dtype ever changes,
+    # this path follows it instead of silently timing a different program
+    raw = np.random.randint(0, 256, (bs, pred.image_size, pred.image_size, 3),
+                            dtype=np.uint8)
+    img = pred.preprocess(jnp.asarray(raw))
     ids = jnp.ones((bs, vocab.max_seq_length), jnp.int32)
     lens = jnp.full((bs,), 5, jnp.int32)
 

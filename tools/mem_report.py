@@ -4,8 +4,12 @@ memory analysis per production config.
 Production-deployment evidence the throughput benchmarks don't show: how much
 of the chip's HBM (v5e: 16 GiB) each config actually needs, and how much
 batch headroom is left. Uses ``jit(...).lower(...).compile().memory_analysis()``
-— no step is executed, so the only cost is the compile itself (1-5 min per
-config through the axon tunnel at 448^2).
+— the train/eval step itself is never executed, so the dominant cost is the
+compile (1-5 min per config through the axon tunnel at 448^2). Exception:
+int8 configs DO run one real device forward of the image tower (b8) during
+``collect_amax`` calibration, on random images so the baked static scales
+are realistic (the scale values are compile-time constants and do not
+change the memory analysis either way).
 
 Peak device need is estimated as ``argument + temp + output - alias`` (donated
 TrainState buffers alias their outputs, so they count once). XLA's ``temp`` is
@@ -60,7 +64,11 @@ def analyze(name: str):
         from vqa_tpu.train.calibrate import (amax_tuple, collect_amax,
                                              image_tower)
         enc, sub_vars = image_tower(model_name, model, state.variables())
-        amax = collect_amax(enc, sub_vars, [img[:8]])
+        # random calibration images (not the zeros used for shape probing):
+        # zero input would floor every per-channel amax at the 1e-12 epsilon
+        calib = jax.random.normal(rng, (8, image_size, image_size, 3),
+                                  jnp.float32)
+        amax = collect_amax(enc, sub_vars, [calib])
         model = model.clone(int8_amax=amax_tuple(model.int8_stages, amax))
     batch_d = {"image": img, "question": ques, "ques_len": lens, "label": labels}
 
