@@ -87,6 +87,27 @@ class TestTrainDriver:
         assert "model_8.ckpt" in os.listdir(log_dir)
 
     @pytest.mark.slow
+    def test_force_mesh_of_one_matches_no_mesh(self, toy_data):
+        """--force_mesh runs the GSPMD sharded program at --num_devices 1;
+        the logged losses must match the plain single-device path exactly
+        (the on-chip validation lever from the r3 VERDICT, item 6)."""
+        def run(tag, extra):
+            expt = os.path.join(toy_data["root"], f"expt_{tag}")
+            run_main(BASE_ARGS + [
+                "--expt_dir", expt, "--expt_name", "e", "--run_name", "r",
+                "--train_img", toy_data["root"], "--train_file",
+                toy_data["data"], "--vocab_file", toy_data["vocab"],
+                "--num_epochs", "1", "--save_interval", "100",
+                "--log_interval", "2"] + extra)
+            log = open(os.path.join(expt, "e", "r", "train_log.txt")).read()
+            import re
+            return re.findall(r"Loss: ([0-9.]+)", log)
+
+        plain = run("nomesh", [])
+        mesh = run("mesh1", ["--force_mesh", "true"])
+        assert plain and plain == mesh
+
+    @pytest.mark.slow
     def test_midepoch_resume_reproduces_trajectory(self, toy_data, tmp_path):
         """Kill at a mid-epoch step, resume from the checkpoint, and the
         remaining losses match the uninterrupted run bit-for-bit: the full
