@@ -197,6 +197,19 @@ class TestInt8Sidecar:
         assert p.model.int8_amax == amax
         assert not p._needs_calib
 
+    def test_explicit_calib_file_stage_mismatch_raises(self, setup, tmp_path):
+        """An explicit --calib_file with the wrong stage set must fail
+        loudly (unlike the checkpoint sidecar, which silently falls back)."""
+        from vqa_tpu.train.calibrate import save_calib
+
+        vocab, ckpt = self._ckpt(setup, str(tmp_path))
+        side = save_calib(str(tmp_path), (2, 3),
+                          ((1.0,) * 128, (1.0,) * 256))
+        with pytest.raises(ValueError, match="calibrated for int8 stages"):
+            VQAPredictor("baseline", vocab, ckpt, batch_size=2,
+                         synthetic_images=True, image_size=32,
+                         int8_backbone=True, calib_file=side)
+
     def test_sidecar_scales_load(self, setup, tmp_path):
         from vqa_tpu.train.calibrate import save_calib
 

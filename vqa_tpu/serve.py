@@ -105,7 +105,8 @@ class VQAPredictor:
                 amax = load_calib(os.path.dirname(os.path.abspath(checkpoint)),
                                   self.model.int8_stages)
             if amax is None and calib_file:
-                amax = self._load_calib_file(calib_file)
+                amax = self._load_calib_file(calib_file,
+                                             self.model.int8_stages)
             if amax is not None:
                 self.model = self.model.clone(int8_amax=amax)
             elif int8_dynamic:
@@ -151,14 +152,21 @@ class VQAPredictor:
         return jax.jit(fwd)
 
     @staticmethod
-    def _load_calib_file(path: str) -> tuple:
+    def _load_calib_file(path: str, int8_stages: tuple) -> tuple:
         """Explicit calibration sidecar (the save_calib JSON format).
 
         Unlike the checkpoint-adjacent sidecar (silently skipped when its
-        stage set is stale), a user-named file that does not parse is an
-        error — wrong static scales are worse than no scales."""
+        stage set is stale), a user-named file that does not parse or does
+        not match the active stage set is an error — wrong static scales
+        are worse than no scales."""
         with open(path) as f:
             data = json.load(f)
+        stages = tuple(data.get("stages", ()))
+        if stages != tuple(int8_stages):
+            raise ValueError(
+                f"--calib_file {path} was calibrated for int8 stages "
+                f"{stages}, but the model runs {tuple(int8_stages)}; "
+                f"re-calibrate or pass a matching --int8_stages")
         return tuple(tuple(float(x) for x in v) if isinstance(v, list)
                      else float(v) for v in data["amax"])
 
