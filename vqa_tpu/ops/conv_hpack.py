@@ -102,7 +102,7 @@ def _pack_weights(w, dtype, variant="split"):
 
 
 def _kernel(xp_ref, w_ref, sc_ref, b_ref, *rest, r_blk, w_img, int8,
-            variant, quant_out=False):
+            variant, quant_out=False, wpool="post"):
     """One (sample, q'-block) -> pooled out [1, R, W/2, O].
 
     xp_ref [1, Q+2, W+2, 2C]: the whole padded packed sample, resident in
@@ -144,11 +144,23 @@ def _kernel(xp_ref, w_ref, sc_ref, b_ref, *rest, r_blk, w_img, int8,
                     preferred_element_type=acct)
                 acc = d if acc is None else acc + d           # [R, W, 2O]
         m = jnp.maximum(acc[..., :out_ch], acc[..., out_ch:])  # pool over H
-    y = m.astype(jnp.float32) * sc_ref[0][None, None]
-    y = jnp.maximum(y + b_ref[0][None, None], 0.0)
-    # pool over W: [R, W, O] -> [R, W/2, 2, O] -> max over the pair dim
-    # (sublane split; the minor dim stays put, so the reshape is legal)
-    y = y.reshape(r_blk, w_img // 2, 2, out_ch).max(axis=2)
+    if wpool == "pre":
+        # REJECTED r4 candidate, kept as an A/B knob: pool W on the int32
+        # accumulator before dequant+bias+ReLU. Bit-identical (monotone
+        # maps, per-channel scale > 0) and it halves the f32 epilogue's
+        # element count — but MEASURED SLOWER on the v5e (stem chain 26.21
+        # vs 23.74ms, full stack 52.14 vs 50.21; tools/exp_r4_epi.py):
+        # Mosaic's i32 vector max on the sublane-split reshape costs more
+        # than the saved f32 work. The f32-late ordering below ships.
+        m = m.reshape(r_blk, w_img // 2, 2, out_ch).max(axis=2)
+        y = m.astype(jnp.float32) * sc_ref[0][None, None]
+        y = jnp.maximum(y + b_ref[0][None, None], 0.0)
+    else:
+        y = m.astype(jnp.float32) * sc_ref[0][None, None]
+        y = jnp.maximum(y + b_ref[0][None, None], 0.0)
+        # pool over W: [R, W, O] -> [R, W/2, 2, O] -> max over the pair dim
+        # (sublane split; the minor dim stays put, so the reshape is legal)
+        y = y.reshape(r_blk, w_img // 2, 2, out_ch).max(axis=2)
     if quant_out:
         y = jnp.clip(jnp.round(y * inv_next_ref[0][None, None]), -127, 127)
     out_ref[0] = y.astype(out_ref.dtype)
@@ -168,10 +180,10 @@ def _pick_r_blk(q: int) -> int | None:
 
 
 @functools.partial(jax.jit, static_argnames=("int8", "s_x", "interpret",
-                                              "variant", "s_next"))
+                                              "variant", "s_next", "wpool"))
 def _conv_hpack(x, w, b, int8: bool = False, s_x=None,
                 interpret: bool = False, variant: str = "split",
-                s_next=None):
+                s_next=None, wpool: str = "post"):
     """x [B,H,W,C] -> maxpool2x2(relu(conv3x3(x, w) + b)) [B,H/2,W/2,O].
 
     ``w``/``b`` are the BN-folded weights (any float dtype). int8: quantize
@@ -235,7 +247,8 @@ def _conv_hpack(x, w, b, int8: bool = False, s_x=None,
                                      memory_space=pltpu.VMEM))
         out_dtype = jnp.int8
     kernel = functools.partial(_kernel, r_blk=r_blk, w_img=wd, int8=int8,
-                               variant=variant, quant_out=s_next is not None)
+                               variant=variant, quant_out=s_next is not None,
+                               wpool=wpool)
     return pl.pallas_call(
         kernel,
         grid=(batch, q // r_blk),
@@ -299,7 +312,7 @@ def _xla_reference_i8(x, w, b, s_x=None, s_next=None):
 
 @functools.lru_cache()
 def _partitioned(int8: bool, interpret: bool, s_x=None, variant="split",
-                 s_next=None):
+                 s_next=None, wpool="post"):
     """GSPMD batch-parallel wrapper (same design as conv_stage1.py:
     pallas_call has no SPMD rule, so without this a DP mesh would
     all-gather the conv input; weights/bias replicate, batch shards)."""
@@ -309,7 +322,7 @@ def _partitioned(int8: bool, interpret: bool, s_x=None, variant="split",
 
     def call(x, w, b):
         return _conv_hpack(x, w, b, int8=int8, s_x=s_x, interpret=interpret,
-                           variant=variant, s_next=s_next)
+                           variant=variant, s_next=s_next, wpool=wpool)
 
     fn = custom_partitioning(call)
 
@@ -360,6 +373,10 @@ def conv_bn_relu_pool(x, w, b, *, force: str | None = None,
     # 'split' (12 dots, 1.33x inflation) measured faster than 'merged'
     # (9 dots, 2x) at conv1 — env knob for A/B reruns
     variant = os.environ.get("VQA_HPACK_VARIANT", "split")
+    # W-pool placement: 'post' (default, ships) dequants at full W then
+    # pools; 'pre' pools the int32 accumulator first — bit-identical but
+    # measured SLOWER on-chip (tools/exp_r4_epi.py), kept for A/B reruns
+    wpool = os.environ.get("VQA_HPACK_WPOOL", "post")
     supported = (w.shape[:2] == (3, 3) and h % 2 == 0 and wd % 2 == 0
                  and _pick_r_blk(h // 2) is not None)
     if force == "xla" or (force != "pallas" and not (supported and _on_tpu())):
@@ -367,4 +384,5 @@ def conv_bn_relu_pool(x, w, b, *, force: str | None = None,
             else _xla_reference(x, w, b)
     if not supported:
         raise ValueError(f"unsupported pooled-stage shape: x{x.shape} w{w.shape}")
-    return _partitioned(int8, not _on_tpu(), s_x, variant, s_next)(x, w, b)
+    return _partitioned(int8, not _on_tpu(), s_x, variant, s_next,
+                        wpool)(x, w, b)

@@ -141,9 +141,9 @@ def _conv0_i8_packed(x, w, b, s_x, s1, interpret: bool = False):
 
 @functools.partial(jax.jit,
                    static_argnames=("s1", "out_dtype", "interpret",
-                                    "s_next"))
+                                    "s_next", "wpool"))
 def _hpack_from_packed(xp, w, b, s1, out_dtype, interpret: bool = False,
-                       s_next=None):
+                       s_next=None, wpool: str = "post"):
     """hpack conv1 stage from a pre-quantized packed input [B, Q, W, 2C].
 
     Same kernel body as ops/conv_hpack ('split' variant); only the
@@ -183,7 +183,7 @@ def _hpack_from_packed(xp, w, b, s1, out_dtype, interpret: bool = False,
         out_dtype = jnp.int8
     kernel = functools.partial(chp._kernel, r_blk=r_blk, w_img=wd,
                                int8=True, variant="split",
-                               quant_out=s_next is not None)
+                               quant_out=s_next is not None, wpool=wpool)
     return pl.pallas_call(
         kernel,
         grid=(batch, q // r_blk),
@@ -213,7 +213,8 @@ def _xla_reference(x, w0, b0, w1, b1, s_x0, s_x1, out_dtype, s_next=None):
 
 
 @functools.lru_cache()
-def _partitioned(s_x0, s_x1, out_dtype, interpret: bool, s_next=None):
+def _partitioned(s_x0, s_x1, out_dtype, interpret: bool, s_next=None,
+                 wpool="post"):
     """GSPMD batch-parallel wrapper (same design as conv_stage1/conv_hpack:
     pallas_call has no SPMD rule; weights/bias replicate, batch shards)."""
     from jax.experimental.custom_partitioning import custom_partitioning
@@ -223,7 +224,8 @@ def _partitioned(s_x0, s_x1, out_dtype, interpret: bool, s_next=None):
     def call(x, w0, b0, w1, b1):
         xp = _conv0_i8_packed(x, w0, b0, s_x0, s_x1, interpret=interpret)
         return _hpack_from_packed(xp, w1, b1, s_x1, out_dtype,
-                                  interpret=interpret, s_next=s_next)
+                                  interpret=interpret, s_next=s_next,
+                                  wpool=wpool)
 
     fn = custom_partitioning(call)
 
@@ -300,5 +302,6 @@ def fused_stem(x, w0, b0, w1, b1, *, s_x0, s_x1, s_next=None,
     if not supported:
         raise ValueError(f"unsupported stem shape: x{x.shape} "
                          f"w0{w0.shape} w1{w1.shape}")
+    wpool = os.environ.get("VQA_HPACK_WPOOL", "post")
     return _partitioned(s_x0, s_x1, x.dtype, not cs1._on_tpu(),
-                        s_next)(x, w0, b0, w1, b1)
+                        s_next, wpool)(x, w0, b0, w1, b1)
