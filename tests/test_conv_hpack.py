@@ -57,6 +57,20 @@ class TestKernelNumerics:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=3e-7, atol=3e-7)
 
+    def test_wpool_orderings_bit_identical(self, monkeypatch):
+        """The VQA_HPACK_WPOOL A/B knob (r4 probe, rejected-on-perf 'pre'
+        ordering kept for reruns) must not change a single bit: pooling the
+        accumulator before or after the monotone dequant+bias+ReLU picks
+        the same winner."""
+        x, w, bias = _case((2, 16, 16), 8, 16, seed=3)
+        s_x = tuple(float(v) / 127.0 for v in np.linspace(1.0, 4.0, 8))
+        outs = {}
+        for wpool in ("post", "pre"):
+            monkeypatch.setenv("VQA_HPACK_WPOOL", wpool)
+            outs[wpool] = np.asarray(conv_bn_relu_pool(
+                x, w, bias, force="pallas", int8=True, s_x=s_x))
+        np.testing.assert_array_equal(outs["post"], outs["pre"])
+
     def test_interpret_int8_quant_out_handoff(self):
         # s_next: the epilogue quantizes the pooled output with the next
         # stage's per-channel scales and the store is int8
