@@ -80,11 +80,16 @@ class TestTrainDriver:
         log_dir = os.path.join(expt, "e", "r")
         assert "model_4.ckpt" in os.listdir(log_dir)
 
-        # resume: step counter continues from 4 (exact restore), so one more
-        # epoch (6 steps) crosses step 8 and saves model_8 (the reference
-        # would restart at step 0)
-        run_main(args + ["--num_epochs", "1", "--model_ckpt", "model_4.ckpt"])
-        assert "model_8.ckpt" in os.listdir(log_dir)
+        # resume from the MID-epoch checkpoint (step 4 of a 6-step epoch):
+        # the step counter continues from 4 (exact restore; the reference
+        # would restart at 0) and the first resumed epoch yields only the
+        # 2 remaining batches (exact intra-epoch resume, r4) — so the first
+        # `--num_epochs 1` leg ends at step 6, exactly where the
+        # uninterrupted run ended, and a second full epoch crosses step 8
+        run_main(args + ["--num_epochs", "2", "--model_ckpt", "model_4.ckpt"])
+        files = os.listdir(log_dir)
+        assert "model_8.ckpt" in files and "model_12.ckpt" in files
+        assert "model_16.ckpt" not in files  # 2+6 steps, not 12
 
     @pytest.mark.slow
     def test_force_mesh_of_one_matches_no_mesh(self, toy_data):
