@@ -92,8 +92,8 @@ def _bench_calib_amax(model_name: str, int8_stages: tuple):
     (model, stage set), else None -> caller calibrates live. BENCH_CALIB=0
     forces live calibration (the values are jit-static constants either
     way, so throughput is identical; the sidecar only skips one compile)."""
-    if os.environ.get("BENCH_CALIB", "1") == "0":
-        return None
+    if os.environ.get("BENCH_CALIB", "1") in ("0", "save"):
+        return None  # force live calibration ('save' must refresh, not no-op)
     try:
         with open(BENCH_CALIB_FILE) as f:
             data = json.load(f)
@@ -299,8 +299,12 @@ def main():
                         data = json.load(f)
                 data[model_name] = {"stages": list(model.int8_stages),
                                     "amax": [list(a) for a in amax]}
-                with open(BENCH_CALIB_FILE, "w") as f:
+                # atomic publish (calibrate.save_calib's pattern): a killed
+                # run must not leave a truncated committed sidecar behind
+                tmp = f"{BENCH_CALIB_FILE}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
                     json.dump(data, f)
+                os.replace(tmp, BENCH_CALIB_FILE)
         model = model.clone(int8_amax=amax)
     device_batch = {"image": img, "question": ques, "ques_len": lens, "label": labels}
     if mode == "cached":

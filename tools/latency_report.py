@@ -16,9 +16,11 @@ Two numbers per batch size:
   (~47 MB/s measured, BASELINE.md) dominates at 448^2; on a real TPU host
   (PCIe) it would not.
 
-The predictor is built without a checkpoint, so int8 stages run dynamic
-per-batch activation scales — one extra amax reduction vs the calibrated
-production path, i.e. these latencies are an upper bound of it.
+The predictor is built without a checkpoint, so its int8 static scales
+auto-calibrate from the first request batch (serve.py's r4 default); the
+warm-up ``predict()`` runs BEFORE the device timing so both numbers
+measure the calibrated production executable, not the transient
+pre-calibration program.
 
 Usage: ``python tools/latency_report.py [bs ...]`` (default 1 8 32).
 """
@@ -47,6 +49,14 @@ def measure(bs: int, trials: int = 20):
     pred = VQAPredictor("attention", vocab, batch_size=bs, opt_lvl=1,
                         synthetic_images=True)
 
+    # warm through the REAL serving path first: the first predict() bakes
+    # the static int8 scales and rebuilds pred._fwd (serve auto-PTQ), so
+    # everything timed below is the calibrated production executable
+    paths = [f"synthetic_{i}.jpg" for i in range(bs)]
+    qs = ["what color is the square"] * bs
+    pred.predict(paths, qs)  # warm + auto-calibrate + compile
+    assert not pred._needs_calib
+
     # route through the predictor's own preprocessor (device resize/normalize
     # on a uint8 batch) so device_call times EXACTLY the executable predict()
     # dispatches — if the serve preprocessor's output dtype ever changes,
@@ -60,17 +70,13 @@ def measure(bs: int, trials: int = 20):
     def device_call():
         return np.asarray(pred._fwd(pred.variables, img, ids, lens))
 
-    device_call()  # compile
+    device_call()  # absorb any first-dispatch skew (program already built)
     times = []
     for _ in range(trials):
         t0 = time.perf_counter()
         device_call()
         times.append((time.perf_counter() - t0) * 1e3)
     device_ms = float(np.median(times))
-
-    paths = [f"synthetic_{i}.jpg" for i in range(bs)]
-    qs = ["what color is the square"] * bs
-    pred.predict(paths, qs)  # warm
     times = []
     for _ in range(max(trials // 4, 3)):
         t0 = time.perf_counter()

@@ -104,9 +104,11 @@ class DataLoader:
         self.num_workers = num_workers
         self._epoch = 0
         self._skip_batches = 0
-        # feature mode gathers memmap rows — no decode pool needed
+        # feature mode gathers memmap rows, and the native_mp backend owns
+        # its own subprocess pool — neither needs a decode thread pool
         self._pool = ThreadPoolExecutor(num_workers) \
-            if num_workers > 0 and feature_cache is None else None
+            if (num_workers > 0 and feature_cache is None
+                and self.decode_backend != "native_mp") else None
 
     def __len__(self) -> int:
         n = len(self.samples) // self.num_shards

@@ -93,20 +93,22 @@ class VQAPredictor:
                                       opt_lvl=opt_lvl, use_pallas=use_pallas,
                                       int8_backbone=int8_backbone)
         if self.model.int8_stages:
-            # static-scale resolution order: (1) the checkpoint's
-            # training-time sidecar, (2) an explicit --calib_file, (3) bake
-            # scales from the first request batch (mirrors main.py test
-            # mode's auto-PTQ) — predictions are batch-composition-invariant
-            # from the first answer on either way. Dynamic per-batch scales
-            # (r2 behavior) only behind the explicit --int8_dynamic flag.
+            # static-scale resolution order: (1) an explicit --calib_file
+            # (explicit user input wins — it must never be silently
+            # shadowed by whatever sidecar happens to sit next to the
+            # checkpoint), (2) the checkpoint's training-time sidecar,
+            # (3) bake scales from the first request batch (mirrors main.py
+            # test mode's auto-PTQ) — predictions are batch-composition-
+            # invariant from the first answer on either way. Dynamic
+            # per-batch scales (r2 behavior) only behind --int8_dynamic.
             from .train.calibrate import load_calib
             amax = None
-            if checkpoint:
-                amax = load_calib(os.path.dirname(os.path.abspath(checkpoint)),
-                                  self.model.int8_stages)
-            if amax is None and calib_file:
+            if calib_file:
                 amax = self._load_calib_file(calib_file,
                                              self.model.int8_stages)
+            if amax is None and checkpoint:
+                amax = load_calib(os.path.dirname(os.path.abspath(checkpoint)),
+                                  self.model.int8_stages)
             if amax is not None:
                 self.model = self.model.clone(int8_amax=amax)
             elif int8_dynamic:
