@@ -106,8 +106,17 @@ def _bench_calib_amax(model_name: str, int8_stages: tuple):
 
 
 def _ensure_dataset(data_dir: str, n_pairs: int) -> None:
-    if os.path.exists(os.path.join(data_dir, "train.txt")):
-        return
+    train = os.path.join(data_dir, "train.txt")
+    if os.path.exists(train):
+        with open(train) as f:
+            have = sum(1 for _ in f)
+        if have >= n_pairs:
+            return
+        # an existing-but-smaller dataset (e.g. generated for another mode)
+        # would leave the b160 loader with zero full batches and the
+        # pipeline bench spinning on an empty epoch — regenerate instead
+        print(f"# {data_dir} has {have} pairs < required {n_pairs}; "
+              f"regenerating", flush=True)
     import subprocess
     import sys
     subprocess.run([sys.executable,
@@ -186,6 +195,10 @@ def bench_pipeline(model_name: str, batch: int, steps: int, use_pallas: bool,
                         seed=0, drop_last=True,
                         decode_backend=os.environ.get("BENCH_DECODE_BACKEND",
                                                       "auto"))
+    if len(loader) == 0:
+        raise SystemExit(f"pipeline bench: dataset {data_dir} has "
+                         f"{len(samples)} pairs < one b{batch} batch — "
+                         f"delete the dir to regenerate")
 
     init = {"image": preprocess(np.zeros((1, 224, 224, 3), np.uint8)),
             "question": jnp.zeros((1, vocab.max_seq_length), jnp.int32),
