@@ -46,6 +46,25 @@ def test_cached_mode_smoke(monkeypatch, capsys):
     assert rec["_n_json_lines"] == 2
 
 
+def test_ensure_dataset_regenerates_undersized(tmp_path):
+    """An existing-but-too-small dataset dir must be regenerated, not
+    accepted (a b160 pipeline bench over it would spin on an empty
+    drop_last epoch until the driver timeout — r4 fix)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    try:
+        import bench
+        d = str(tmp_path / "ds")
+        bench._ensure_dataset(d, 24)
+        n0 = sum(1 for _ in open(os.path.join(d, "train.txt")))
+        assert n0 >= 24
+        bench._ensure_dataset(d, n0)          # big enough: untouched
+        bench._ensure_dataset(d, n0 + 16)     # too small: regenerated
+        n1 = sum(1 for _ in open(os.path.join(d, "train.txt")))
+        assert n1 >= n0 + 16
+    finally:
+        sys.path.pop(0)
+
+
 def test_budget_degrade_still_prints(monkeypatch, capsys):
     # a budget that is already exhausted at startup must still produce one
     # (shrunk) window and one JSON line rather than timing out silently
