@@ -1,0 +1,206 @@
+"""Tensor-parallel + FSDP tests on the simulated 8-device CPU mesh.
+
+parallel.sharding places the TrainState on a 2-D ("data", "model") mesh:
+Megatron-paired tensor parallelism for the trainable head, ZeRO-style FSDP
+for params + Adam moments, frozen VGG replicated (the Pallas kernels expect
+replicated weight operands). All collectives are GSPMD-inserted — these
+tests assert the placements are real (shards actually smaller), the step
+compiles with pinned in/out shardings, and the numerics match the DP path.
+
+The reference has no distributed execution at all (multi-GPU is a
+commented-out TODO, /root/reference/main.py:102-106) — new capability.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vqa_tpu.parallel.mesh import batch_sharding, get_mesh, replicate_to_mesh, \
+    shard_batch
+from vqa_tpu.parallel.sharding import MODEL_AXIS, param_spec, \
+    shard_state_to_mesh, state_shardings
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices (conftest sets XLA flag)")
+    return jax.devices()[:8]
+
+
+@pytest.fixture(scope="module")
+def tiny_problem():
+    from vqa_tpu.models import HierarchicalCoAttentionNet
+    from vqa_tpu.train.state import create_train_state, make_optimizer
+
+    model = HierarchicalCoAttentionNet(vocab_size=32, K=4, word_emb_dim=512,
+                                       hidden_dim=512, mlp_dim=128)
+    rng = jax.random.PRNGKey(0)
+    B, L = 16, 6
+    img = jax.random.normal(rng, (B, 32, 32, 3))
+    ques = jax.random.randint(rng, (B, L), 1, 32)
+    lens = jnp.full((B,), L, jnp.int32)
+    labels = jax.random.randint(rng, (B,), 0, 4)
+    batch = {"image": img, "question": ques, "ques_len": lens, "label": labels}
+    init_batch = {"image": img[:1], "question": ques[:1], "ques_len": lens[:1]}
+    state = create_train_state(model, rng, init_batch, 1e-3)
+    tx = make_optimizer(1e-3, state.params, False)
+    return model, state, tx, batch
+
+
+def _run_steps(model, state, tx, batch, mesh, n_steps, tp, fsdp):
+    from vqa_tpu.train.steps import make_train_step
+
+    if tp or fsdp:
+        state = shard_state_to_mesh(state, mesh, tp=tp, fsdp=fsdp)
+        sh = (state_shardings(state, mesh, tp=tp, fsdp=fsdp),
+              batch_sharding(mesh))
+        step = make_train_step(model, tx, donate=False, shardings=sh)
+    else:
+        state = replicate_to_mesh(state, mesh)
+        step = make_train_step(model, tx, donate=False)
+    b = shard_batch(batch, mesh)
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = step(state, b)
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+class TestSpecRules:
+    def test_megatron_pairs(self, eight_devices):
+        mesh = get_mesh(8, model_parallel=2)
+        # column-parallel producer
+        assert param_spec("co_attention/W_q_kernel", (512, 512), mesh,
+                          fsdp=False) == P(None, MODEL_AXIS)
+        # row-parallel consumer (contraction dim sharded -> GSPMD psum)
+        assert param_spec("co_attention/w_q_kernel", (512, 1), mesh,
+                          fsdp=False) == P(MODEL_AXIS)
+        assert param_spec("mlp_classify/W_h/kernel", (1024, 11), mesh,
+                          fsdp=False) == P(MODEL_AXIS)
+
+    def test_vgg_always_replicated(self, eight_devices):
+        mesh = get_mesh(8, model_parallel=2)
+        path = "image_encoder/vgg11_encoder/conv3/kernel"
+        assert param_spec(path, (3, 3, 256, 256), mesh) == P()
+        assert param_spec(path, (3, 3, 256, 256), mesh, fsdp=True) == P()
+
+    def test_non_divisible_dim_falls_back(self, eight_devices):
+        mesh = get_mesh(8, model_parallel=2)
+        # 11 % 2 != 0: the model-axis assignment is dropped, not an error
+        assert param_spec("mlp_classify/W_h/bias", (11,), mesh,
+                          fsdp=False) == P()
+        # FSDP skips non-divisible leading dims too (13 % 4 != 0)
+        assert param_spec("anything/kernel", (13,), mesh) == P()
+
+    def test_fsdp_fills_first_free_dim(self, eight_devices):
+        mesh = get_mesh(8, model_parallel=2)  # data axis = 4
+        # TP takes dim 1, FSDP then shards dim 0 over data
+        assert param_spec("co_attention/W_q_kernel", (512, 512), mesh) == \
+            P("data", MODEL_AXIS)
+        # unmatched leaf: FSDP-only on dim 0
+        assert param_spec("some/unknown/leaf", (64, 7), mesh) == P("data")
+
+    def test_optimizer_moments_inherit_param_spec(self, eight_devices,
+                                                  tiny_problem):
+        model, state, tx, batch = tiny_problem
+        mesh = get_mesh(8, model_parallel=2)
+        sh = state_shardings(state, mesh, tp=True, fsdp=True)
+        flat = {re.sub(r"^\.", "", jax.tree_util.keystr(p)): s.spec
+                for p, s in jax.tree_util.tree_flatten_with_path(sh)[0]}
+        mu_keys = [k for k in flat if "mu" in k and "W_q_kernel" in k]
+        assert mu_keys, f"no Adam mu leaf found: {sorted(flat)[:5]}"
+        for k in mu_keys:
+            assert flat[k] == P("data", MODEL_AXIS), (k, flat[k])
+
+
+class TestTwoDMesh:
+    def test_mesh_shape_and_batch_spec(self, eight_devices):
+        mesh = get_mesh(8, model_parallel=2)
+        assert mesh.axis_names == ("data", "model")
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+        # the 1-D P("data") batch sharding is valid on the 2-D mesh
+        batch = {"x": np.arange(64, dtype=np.float32).reshape(16, 4)}
+        sharded = shard_batch(batch, mesh)
+        assert sharded["x"].sharding.spec == P("data")
+
+    def test_model_parallel_must_divide(self, eight_devices):
+        with pytest.raises(ValueError, match="divide"):
+            get_mesh(8, model_parallel=3)
+
+    def test_shards_are_actually_smaller(self, eight_devices, tiny_problem):
+        model, state, tx, batch = tiny_problem
+        mesh = get_mesh(8, model_parallel=2)
+        sharded = shard_state_to_mesh(state, mesh, tp=True, fsdp=True)
+        wq = sharded.params["co_attention"]["W_q_kernel"]
+        shard = wq.addressable_shards[0]
+        assert wq.shape == (512, 512)
+        assert shard.data.shape == (128, 256)  # 512/4 data x 512/2 model
+        # frozen VGG stays replicated: every device holds the full kernel
+        vgg_leaf = jax.tree_util.tree_leaves(
+            sharded.params["image_encoder"]["vgg11_encoder"])[0]
+        assert vgg_leaf.addressable_shards[0].data.shape == vgg_leaf.shape
+
+
+@pytest.mark.slow
+class TestTPNumerics:
+    def test_tp_fsdp_matches_dp(self, eight_devices, tiny_problem):
+        """3 TP+FSDP steps reproduce the DP loss trajectory and params."""
+        model, state, tx, batch = tiny_problem
+        l_dp, s_dp = _run_steps(model, state, tx, batch, get_mesh(8), 3,
+                                tp=False, fsdp=False)
+        l_tp, s_tp = _run_steps(model, state, tx, batch,
+                                get_mesh(8, model_parallel=2), 3,
+                                tp=True, fsdp=True)
+        np.testing.assert_allclose(l_tp, l_dp, rtol=1e-5, atol=1e-6)
+        # param bound is loose relative to the loss bound: early Adam steps
+        # divide a near-zero mu by a near-zero sqrt(nu), so reduction-order
+        # noise in a tiny gradient can move one element by a fraction of a
+        # whole update (lr=1e-3); the bound asserts "< a few updates", the
+        # loss trajectory above asserts the real equivalence
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a, np.float64)
+                                             - np.asarray(b, np.float64)))),
+            s_dp.params, s_tp.params)
+        assert max(jax.tree_util.tree_leaves(deltas)) < 3e-3
+
+    def test_fsdp_only_matches_dp(self, eight_devices, tiny_problem):
+        """ZeRO sharding alone (tp off) is numerically the DP step."""
+        model, state, tx, batch = tiny_problem
+        l_dp, _ = _run_steps(model, state, tx, batch, get_mesh(8), 2,
+                             tp=False, fsdp=False)
+        l_fsdp, s = _run_steps(model, state, tx, batch, get_mesh(8), 2,
+                               tp=False, fsdp=True)
+        np.testing.assert_allclose(l_fsdp, l_dp, rtol=1e-5, atol=1e-6)
+        wq = s.params["co_attention"]["W_q_kernel"]
+        assert wq.addressable_shards[0].data.shape[0] == 512 // 8
+
+    def test_baseline_family_tp_step(self, eight_devices):
+        """The baseline (VGG x GRU) rules compile and run on a (4,2) mesh."""
+        from vqa_tpu.models import VQABaselineNet
+        from vqa_tpu.train.state import create_train_state, make_optimizer
+
+        model = VQABaselineNet(vocab_size=32, K=6, word_emb_dim=300,
+                               hidden_dim=1024)
+        rng = jax.random.PRNGKey(1)
+        B, L = 8, 5
+        img = jax.random.normal(rng, (B, 32, 32, 3))
+        ques = jax.random.randint(rng, (B, L), 1, 32)
+        lens = jnp.full((B,), L, jnp.int32)
+        labels = jax.random.randint(rng, (B,), 0, 6)
+        batch = {"image": img, "question": ques, "ques_len": lens,
+                 "label": labels}
+        init_batch = {k: v[:1] for k, v in batch.items() if k != "label"}
+        state = create_train_state(model, rng, init_batch, 1e-3)
+        tx = make_optimizer(1e-3, state.params, False)
+        l_dp, _ = _run_steps(model, state, tx, batch, get_mesh(8), 2,
+                             tp=False, fsdp=False)
+        l_tp, _ = _run_steps(model, state, tx, batch,
+                             get_mesh(8, model_parallel=2), 2,
+                             tp=True, fsdp=True)
+        np.testing.assert_allclose(l_tp, l_dp, rtol=1e-5, atol=1e-6)

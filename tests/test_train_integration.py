@@ -113,6 +113,44 @@ class TestTrainDriver:
         assert plain and plain == mesh
 
     @pytest.mark.slow
+    def test_model_parallel_fsdp_matches_dp(self, toy_data):
+        """--model_parallel 2 --fsdp on an 8-device mesh: the CLI's TP+FSDP
+        training run reproduces the DP-8 loss trajectory (to log precision;
+        GSPMD collective order perturbs the last digit) and still writes
+        restorable checkpoints from the sharded TrainState."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 simulated devices")
+
+        def run(tag, extra):
+            expt = os.path.join(toy_data["root"], f"expt_mp_{tag}")
+            run_main(BASE_ARGS + [
+                "--expt_dir", expt, "--expt_name", "e", "--run_name", "r",
+                "--train_img", toy_data["root"], "--train_file",
+                toy_data["data"], "--vocab_file", toy_data["vocab"],
+                "--num_epochs", "1", "--save_interval", "3",
+                "--num_devices", "8", "--batch_size", "8",
+                "--log_interval", "2"] + extra)
+            log_dir = os.path.join(expt, "e", "r")
+            import re
+            losses = re.findall(r"Loss: ([0-9.]+)",
+                                open(os.path.join(log_dir, "train_log.txt")).read())
+            return [float(x) for x in losses], log_dir
+
+        dp, _ = run("dp", [])
+        tp, log_dir = run("tp", ["--model_parallel", "2", "--fsdp", "true"])
+        assert dp and len(dp) == len(tp)
+        np.testing.assert_allclose(tp, dp, atol=2e-3)
+        ckpts = [f for f in os.listdir(log_dir) if f.startswith("model_")]
+        assert "model_3.ckpt" in ckpts
+        import flax.serialization
+        with open(os.path.join(log_dir, "model_3.ckpt"), "rb") as f:
+            restored = flax.serialization.msgpack_restore(f.read())
+        assert int(np.asarray(restored["step"])) == 3
+        # sharded params were gathered to full host arrays at save time
+        kernel = restored["params"]["image_encoder"]["embedding_fc"]["kernel"]
+        assert kernel.shape == (4096, 1024)
+
+    @pytest.mark.slow
     def test_midepoch_resume_reproduces_trajectory(self, toy_data, tmp_path):
         """Kill at a mid-epoch step, resume from the checkpoint, and the
         remaining losses match the uninterrupted run bit-for-bit: the full

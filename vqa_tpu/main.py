@@ -127,6 +127,15 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native extensions (not in the reference) ---
     parser.add_argument("--num_devices", type=int, default=1,
                         help="data-parallel devices in the mesh (1 = single chip)")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="tensor-parallel ways on a 2-D (data x model) "
+                             "mesh; must divide --num_devices. Megatron-"
+                             "paired shardings for the trainable head, "
+                             "frozen VGG replicated (parallel/sharding.py)")
+    parser.add_argument("--fsdp", type=str2bool, default="false",
+                        help="ZeRO-style sharding of params + Adam moments "
+                             "over the data axis (composes with "
+                             "--model_parallel)")
     parser.add_argument("--force_mesh", type=str2bool, default="false",
                         help="build the GSPMD data mesh even when "
                              "--num_devices is 1 — runs the sharded code "
@@ -382,7 +391,7 @@ def main(argv=None):
     log_dir = os.path.join(args.expt_dir, args.expt_name, args.run_name)
     os.makedirs(log_dir, exist_ok=True)
 
-    mesh = get_mesh(args.num_devices) \
+    mesh = get_mesh(args.num_devices, model_parallel=args.model_parallel) \
         if args.num_devices > 1 or args.force_mesh else None
 
     from .parallel.distributed import host_shard
@@ -547,12 +556,24 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
 
     tx = make_optimizer(args.learning_rate, state.params, args.vgg_train)
     bn_batch_stats = {"auto": None, "batch": True, "running": False}[args.bn_mode]
+    model_sharded = mesh is not None and (args.model_parallel > 1 or args.fsdp)
+    step_shardings = None
+    if model_sharded:
+        from .parallel.mesh import batch_sharding
+        from .parallel.sharding import shard_state_to_mesh, state_shardings
+        tp = args.model_parallel > 1
+        step_shardings = (state_shardings(state, mesh, tp=tp, fsdp=args.fsdp),
+                          batch_sharding(mesh))
     train_step = make_train_step(model, tx, vgg_trainable=args.vgg_train,
                                  bn_batch_stats=bn_batch_stats,
-                                 image_is_features=image_is_features)
+                                 image_is_features=image_is_features,
+                                 shardings=step_shardings)
     eval_step = make_eval_step(model, image_is_features=image_is_features)
 
-    if mesh is not None:
+    if model_sharded:
+        state = shard_state_to_mesh(state, mesh, tp=args.model_parallel > 1,
+                                    fsdp=args.fsdp)
+    elif mesh is not None:
         state = replicate_to_mesh(state, mesh)
 
     steps_per_epoch = len(train_loader)

@@ -22,14 +22,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def get_mesh(num_devices: int | None = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` local devices."""
+def get_mesh(num_devices: int | None = None, devices=None,
+             model_parallel: int = 1) -> Mesh:
+    """Device mesh over the first ``num_devices`` local devices.
+
+    ``model_parallel=1`` (default): the 1-D ``("data",)`` mesh every DP
+    surface uses. ``model_parallel=m``: a 2-D ``("data", "model")`` mesh of
+    shape ``(num_devices // m, m)`` for tensor-parallel / FSDP placements
+    (parallel.sharding). ``P("data")`` batch shardings are valid on both,
+    so the DP code path runs unchanged on a 2-D mesh.
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         if num_devices > len(devices):
             raise ValueError(f"requested {num_devices} devices, have {len(devices)}")
         devices = devices[:num_devices]
+    if model_parallel > 1:
+        n = len(devices)
+        if n % model_parallel:
+            raise ValueError(
+                f"model_parallel={model_parallel} must divide the device count {n}")
+        grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+        return Mesh(grid, (DATA_AXIS, "model"))
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 

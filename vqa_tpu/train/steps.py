@@ -27,7 +27,8 @@ def cross_entropy_loss(logits, labels):
 
 def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
                     bn_batch_stats: bool | None = None,
-                    image_is_features: bool = False):
+                    image_is_features: bool = False,
+                    shardings=None):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
     ``bn_batch_stats``: force BN mode during training. Default (None) follows
@@ -40,6 +41,13 @@ def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
     ``image_is_features``: ``batch["image"]`` holds cached frozen-tower
     features (vqa_tpu.data.feature_cache), not pixels — the image encoder
     is skipped.
+
+    ``shardings``: optional ``(state_shardings, batch_sharding)`` pair
+    (parallel.sharding.state_shardings + parallel.mesh.batch_sharding).
+    Pins the TrainState placement through the step — in and out specs match,
+    so donation aliases buffers and no step-boundary reshard ever happens
+    under TP/FSDP. Default (None) keeps GSPMD inference from the operands,
+    which is exact for the replicated-state DP path.
     """
     use_batch_stats_bn = vgg_trainable if bn_batch_stats is None else bn_batch_stats
 
@@ -77,7 +85,16 @@ def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
         return new_state, {"loss": loss, "accuracy": accuracy}
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    if shardings is None:
+        return jax.jit(train_step, donate_argnums=donate_argnums)
+    state_sh, batch_sh = shardings
+    from jax.sharding import NamedSharding, PartitionSpec
+    metric_sh = NamedSharding(next(iter(jax.tree_util.tree_leaves(state_sh))).mesh,
+                              PartitionSpec())
+    return jax.jit(train_step, donate_argnums=donate_argnums,
+                   in_shardings=(state_sh, batch_sh),
+                   out_shardings=(state_sh, {"loss": metric_sh,
+                                             "accuracy": metric_sh}))
 
 
 def make_eval_step(model, image_is_features: bool = False):
