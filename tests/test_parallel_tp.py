@@ -180,6 +180,29 @@ class TestTPNumerics:
         wq = s.params["co_attention"]["W_q_kernel"]
         assert wq.addressable_shards[0].data.shape[0] == 512 // 8
 
+    def test_seq_parallel_constraint_and_numerics(self, eight_devices):
+        """act_mesh shards the [B, S, D] feature sequence over the model
+        axis (observable on the jitted output sharding) without changing
+        the values (64^2 image -> S=4, divisible by mp=2)."""
+        from vqa_tpu.models.coattention import ImageCoAttentionEncoder
+
+        mesh = get_mesh(8, model_parallel=2)
+        rng = jax.random.PRNGKey(0)
+        img = jax.random.normal(rng, (8, 64, 64, 3))
+
+        enc_plain = ImageCoAttentionEncoder()
+        variables = jax.jit(enc_plain.init)({"params": rng}, img)
+        enc_sp = ImageCoAttentionEncoder(act_mesh=mesh)
+
+        img_sharded = jax.device_put(img, batch_sharding(mesh))
+        feats_plain = jax.jit(enc_plain.apply)(variables, img)
+        feats_sp = jax.jit(enc_sp.apply)(variables, img_sharded)
+        assert feats_sp.shape == (8, 4, 512)
+        assert feats_sp.sharding.spec == P("data", MODEL_AXIS)
+        np.testing.assert_allclose(np.asarray(feats_sp),
+                                   np.asarray(feats_plain),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_baseline_family_tp_step(self, eight_devices):
         """The baseline (VGG x GRU) rules compile and run on a (4,2) mesh."""
         from vqa_tpu.models import VQABaselineNet

@@ -136,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="ZeRO-style sharding of params + Adam moments "
                              "over the data axis (composes with "
                              "--model_parallel)")
+    parser.add_argument("--seq_parallel", type=str2bool, default="false",
+                        help="shard the image feature sequence (S=196) over "
+                             "the model axis in the co-attention block; "
+                             "requires --model_parallel > 1 and the "
+                             "attention model")
     parser.add_argument("--force_mesh", type=str2bool, default="false",
                         help="build the GSPMD data mesh even when "
                              "--num_devices is 1 — runs the sharded code "
@@ -393,6 +398,13 @@ def main(argv=None):
 
     mesh = get_mesh(args.num_devices, model_parallel=args.model_parallel) \
         if args.num_devices > 1 or args.force_mesh else None
+    if args.seq_parallel:
+        if mesh is None or args.model_parallel <= 1:
+            raise SystemExit("--seq_parallel requires --model_parallel > 1")
+        if not hasattr(model, "act_mesh"):
+            raise SystemExit(f"--seq_parallel is attention-family only "
+                             f"(got --model {args.model})")
+        model = model.clone(act_mesh=mesh)
 
     from .parallel.distributed import host_shard
     shard_index, num_shards = host_shard()

@@ -35,6 +35,26 @@ from .vgg import VGG11Encoder
 Dtype = Any
 
 
+def _seq_shard(x, mesh):
+    """Sequence-parallel constraint on [B, S, D] image features.
+
+    With a 2-D ("data", "model") mesh (parallel.sharding), pins the spatial
+    sequence dim S onto the model axis — the co-attention affinity, its
+    softmax over S and the attention pooling then run sequence-parallel,
+    with GSPMD inserting the cross-shard reductions. New capability (the
+    reference is single-GPU); a no-op when the mesh has no model axis or S
+    is not divisible (e.g. tiny test images).
+    """
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mp = mesh.shape.get("model", 1)
+    if mp <= 1 or x.shape[1] % mp:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("data", "model", None)))
+
+
 class ImageCoAttentionEncoder(nn.Module):
     """448x448 image -> [B, 196, 512] spatial features (model.py:190-243).
 
@@ -51,6 +71,7 @@ class ImageCoAttentionEncoder(nn.Module):
     fused_stem: bool = False
     int8_handoff: bool = False
     remat: bool = False
+    act_mesh: Any = None  # sequence-parallel mesh (see _seq_shard)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -68,7 +89,7 @@ class ImageCoAttentionEncoder(nn.Module):
             # frozen backbone (model.py:238-241): skip its backward too
             x = jax.lax.stop_gradient(x)
         b, h, w, c = x.shape
-        return x.reshape(b, h * w, c)                         # [B, S, 512]
+        return _seq_shard(x.reshape(b, h * w, c), self.act_mesh)  # [B, S, 512]
 
 
 class PhraseConvPool(nn.Module):
@@ -236,6 +257,7 @@ class HierarchicalCoAttentionNet(nn.Module):
     int8_handoff: bool = False
     remat: bool = False
     use_pallas: bool = False
+    act_mesh: Any = None  # sequence-parallel mesh (see _seq_shard)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -248,7 +270,8 @@ class HierarchicalCoAttentionNet(nn.Module):
         if image_is_features:
             # x_img is the frozen image tower's cached [B, S, D] output
             # (vqa_tpu.data.feature_cache) — skip the VGG entirely
-            x_img_features = jax.lax.stop_gradient(x_img.astype(self.dtype))
+            x_img_features = _seq_shard(
+                jax.lax.stop_gradient(x_img.astype(self.dtype)), self.act_mesh)
         else:
             x_img_features = ImageCoAttentionEncoder(
                 vgg_trainable=self.vgg_trainable, s2d_first=self.s2d_first,
@@ -258,7 +281,7 @@ class HierarchicalCoAttentionNet(nn.Module):
                 hpack_pool=self.hpack_pool,
                 fused_stem=self.fused_stem,
                 int8_handoff=self.int8_handoff,
-                remat=self.remat, dtype=self.dtype,
+                remat=self.remat, act_mesh=self.act_mesh, dtype=self.dtype,
                 name="image_encoder")(x_img, train, use_running_stats)
 
         x_img_attn, x_ques_attn = ParallelCoAttention(
