@@ -150,6 +150,54 @@ class TestTrainDriver:
         kernel = restored["params"]["image_encoder"]["embedding_fc"]["kernel"]
         assert kernel.shape == (4096, 1024)
 
+    def test_grad_accum_matches_monolithic_step(self):
+        """--grad_accum k: the lax.scan-accumulated step reproduces the
+        monolithic full-batch step on a dropout-free model (HieCoAttn) —
+        same loss and near-identical params (mean-of-means == global mean
+        for equal microbatches; fp32 summation order is the only delta)."""
+        from vqa_tpu.models import HierarchicalCoAttentionNet
+        from vqa_tpu.train.state import create_train_state, make_optimizer
+        from vqa_tpu.train.steps import make_train_step
+
+        model = HierarchicalCoAttentionNet(vocab_size=32, K=4, word_emb_dim=512,
+                                           hidden_dim=512, mlp_dim=128)
+        rng = jax.random.PRNGKey(0)
+        B, L = 8, 6
+        img = jax.random.normal(rng, (B, 32, 32, 3))
+        ques = jax.random.randint(rng, (B, L), 1, 32)
+        lens = jnp.full((B,), L, jnp.int32)
+        labels = jax.random.randint(rng, (B,), 0, 4)
+        batch = {"image": img, "question": ques, "ques_len": lens,
+                 "label": labels}
+        init_batch = {k: v[:1] for k, v in batch.items() if k != "label"}
+
+        def run(k):
+            state = create_train_state(model, jax.random.PRNGKey(1),
+                                       init_batch, 1e-3)
+            tx = make_optimizer(1e-3, state.params, False)
+            step = make_train_step(model, tx, donate=False, grad_accum=k)
+            losses = []
+            for _ in range(2):
+                state, m = step(state, batch)
+                losses.append(float(m["loss"]))
+            return losses, state
+
+        l1, s1 = run(1)
+        l4, s4 = run(4)
+        np.testing.assert_allclose(l4, l1, rtol=1e-6, atol=1e-7)
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            s1.params, s4.params)
+        assert max(jax.tree_util.tree_leaves(deltas)) < 1e-3
+
+    def test_grad_accum_rejects_batch_stats_bn(self):
+        from vqa_tpu.models import HierarchicalCoAttentionNet
+        from vqa_tpu.train.steps import make_train_step
+
+        model = HierarchicalCoAttentionNet(vocab_size=32, K=4)
+        with pytest.raises(ValueError, match="running-stats"):
+            make_train_step(model, None, grad_accum=2, bn_batch_stats=True)
+
     @pytest.mark.slow
     def test_midepoch_resume_reproduces_trajectory(self, toy_data, tmp_path):
         """Kill at a mid-epoch step, resume from the checkpoint, and the

@@ -136,6 +136,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="ZeRO-style sharding of params + Adam moments "
                              "over the data axis (composes with "
                              "--model_parallel)")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="gradient-accumulation microbatches per "
+                             "optimizer step (lax.scan; activation memory "
+                             "scales with batch_size/grad_accum). Requires "
+                             "running-stats BN (the frozen-backbone "
+                             "default) and batch_size divisible by it")
     parser.add_argument("--seq_parallel", type=str2bool, default="false",
                         help="shard the image feature sequence (S=196) over "
                              "the model axis in the co-attention block; "
@@ -576,10 +582,14 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
         tp = args.model_parallel > 1
         step_shardings = (state_shardings(state, mesh, tp=tp, fsdp=args.fsdp),
                           batch_sharding(mesh))
+    if args.grad_accum > 1 and args.batch_size % args.grad_accum:
+        raise SystemExit(f"--grad_accum {args.grad_accum} must divide "
+                         f"--batch_size {args.batch_size}")
     train_step = make_train_step(model, tx, vgg_trainable=args.vgg_train,
                                  bn_batch_stats=bn_batch_stats,
                                  image_is_features=image_is_features,
-                                 shardings=step_shardings)
+                                 shardings=step_shardings,
+                                 grad_accum=args.grad_accum)
     eval_step = make_eval_step(model, image_is_features=image_is_features)
 
     if model_sharded:

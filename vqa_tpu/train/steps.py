@@ -28,7 +28,7 @@ def cross_entropy_loss(logits, labels):
 def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
                     bn_batch_stats: bool | None = None,
                     image_is_features: bool = False,
-                    shardings=None):
+                    shardings=None, grad_accum: int = 1):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
     ``bn_batch_stats``: force BN mode during training. Default (None) follows
@@ -48,6 +48,16 @@ def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
     so donation aliases buffers and no step-boundary reshard ever happens
     under TP/FSDP. Default (None) keeps GSPMD inference from the operands,
     which is exact for the replicated-state DP path.
+
+    ``grad_accum``: split the batch into this many microbatches, run the
+    forward/backward as a ``lax.scan`` accumulating the mean gradient, then
+    apply ONE optimizer update — activation memory scales with the
+    microbatch, enabling effective batch sizes far past HBM. Requires
+    running-stats BN (the frozen-backbone default; per-microbatch stat
+    updates would change semantics) and a batch size divisible by
+    ``grad_accum``. Each microbatch draws its own dropout rng, so on models
+    with dropout the accumulated step is statistically — not bitwise —
+    equivalent to the monolithic one (HieCoAttn has no dropout: exact).
     """
     use_batch_stats_bn = vgg_trainable if bn_batch_stats is None else bn_batch_stats
 
@@ -70,15 +80,45 @@ def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
         loss = cross_entropy_loss(logits, batch["label"])
         return loss, (logits, new_stats)
 
+    if grad_accum > 1 and use_batch_stats_bn:
+        raise ValueError("grad_accum requires running-stats BN "
+                         "(per-microbatch stat updates change semantics)")
+
     def train_step(state, batch):
         rng, dropout_rng = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (logits, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch, dropout_rng)
+        if grad_accum == 1:
+            (loss, (logits, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, dropout_rng)
+            accuracy = jnp.mean((jnp.argmax(logits, axis=-1)
+                                 == batch["label"]).astype(jnp.float32))
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
+                                    + x.shape[1:]), batch)
+            mb_rngs = jax.random.split(dropout_rng, grad_accum)
+            new_stats = state.batch_stats  # running-stats mode: unchanged
+
+            def body(carry, xs):
+                g_acc, loss_acc, acc_acc = carry
+                mb, r = xs
+                (mb_loss, (mb_logits, _)), g = grad_fn(
+                    state.params, state.batch_stats, mb, r)
+                mb_acc = jnp.mean((jnp.argmax(mb_logits, axis=-1)
+                                   == mb["label"]).astype(jnp.float32))
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + mb_loss, acc_acc + mb_acc), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (g_sum, loss_sum, acc_sum), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32),
+                       jnp.zeros((), jnp.float32)), (micro, mb_rngs))
+            # equal microbatch sizes: mean of means == global mean
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, g_sum)
+            loss = loss_sum / grad_accum
+            accuracy = acc_sum / grad_accum
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        accuracy = jnp.mean(
-            (jnp.argmax(logits, axis=-1) == batch["label"]).astype(jnp.float32))
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats, opt_state=new_opt_state,
                                   rng=rng)
