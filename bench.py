@@ -50,6 +50,9 @@ methodology). Override via env:
 - ``BENCH_FUSED`` ('0' disables the fused conv0->conv1 stem, --fused_stem,
   for same-session A/B against the two-kernel chain)
 - ``BENCH_WORKERS`` (pipeline/decode host decode threads, default 4)
+- ``BENCH_GRAD_ACCUM`` (default 1): microbatched gradient accumulation in
+  the train step (--grad_accum); e.g. BENCH_BATCH=640 BENCH_GRAD_ACCUM=4
+  benches effective-b640 training at b160 activation footprint
 - ``BENCH_BASELINE_QPS`` (default 400.0)
 """
 
@@ -352,8 +355,10 @@ def main():
             return time.perf_counter() - t0
     else:
         tx = make_optimizer(1e-4, state.params, vgg_trainable=False)
+        grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", 1))
         train_step = make_train_step(model, tx, donate=True,
-                                     image_is_features=(mode == "cached"))
+                                     image_is_features=(mode == "cached"),
+                                     grad_accum=grad_accum)
 
         def run_window(n):
             nonlocal state
@@ -369,8 +374,10 @@ def main():
     if _budget_left() <= 0:
         steps = min(steps, 10)
     int8 = os.environ.get("BENCH_INT8") == "1"
+    ga = int(os.environ.get("BENCH_GRAD_ACCUM", 1))
     metric = (f"{mode}_qa_pairs_per_sec_{model_name}_b{batch}"
-              f"{'_pallas' if use_pallas else ''}{'_int8' if int8 else ''}")
+              f"{'_pallas' if use_pallas else ''}{'_int8' if int8 else ''}"
+              f"{f'_ga{ga}' if ga > 1 and mode not in ('eval',) else ''}")
     window_qps = []
     for w in range(n_windows):
         # the first window always runs; later ones must fit in the budget

@@ -101,3 +101,67 @@ class TestPthInterop:
             np.asarray(jax.tree_util.tree_leaves(state.params)[0]), atol=1e-6)
         # ...but step stays fresh (weights-only semantics, like the reference)
         assert int(loaded.step) == 0
+
+
+class TestOrbaxBackend:
+    """--ckpt_backend orbax: async sharded directories (checkpoint.py)."""
+
+    def test_roundtrip_and_latest(self, small_state, tmp_path):
+        state = small_state.replace(step=jnp.asarray(4, jnp.int32))
+        path = save_checkpoint(state, str(tmp_path), backend="orbax")
+        assert path.endswith("model_4.orbax") and os.path.isdir(path)
+        restored = restore_checkpoint(path, small_state)
+        assert int(restored.step) == 4
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                        jax.tree_util.tree_leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # latest-lookup sees both formats and picks the highest step
+        save_checkpoint(small_state, str(tmp_path), step=2)  # flax .ckpt
+        assert latest_checkpoint(str(tmp_path)).endswith("model_4.orbax")
+
+    def test_load_params_only(self, small_state, tmp_path):
+        from vqa_tpu.train.checkpoint import load_params_only
+
+        path = save_checkpoint(small_state, str(tmp_path), step=1,
+                               backend="orbax")
+        params, batch_stats = load_params_only(path)
+        for a, b in zip(jax.tree_util.tree_leaves(small_state.params),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_async_checkpointer_orbax(self, small_state, tmp_path):
+        ck = AsyncCheckpointer(backend="orbax")
+        ck.save(small_state, str(tmp_path), step=9)
+        ck.wait()
+        assert os.path.isdir(os.path.join(tmp_path, "model_9.orbax"))
+        restored = restore_checkpoint(
+            os.path.join(str(tmp_path), "model_9.orbax"), small_state)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(small_state.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(restored.params)[0]))
+
+    @pytest.mark.slow
+    def test_sharded_restore_lands_sharded(self, small_state, tmp_path):
+        """An FSDP/TP-sharded template restores each leaf directly into its
+        NamedSharding — the no-host-gather scale path."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 simulated devices")
+        from vqa_tpu.parallel.mesh import get_mesh
+        from vqa_tpu.parallel.sharding import shard_state_to_mesh
+
+        mesh = get_mesh(8, model_parallel=2)
+        sharded = shard_state_to_mesh(small_state, mesh, tp=True, fsdp=True)
+        path = save_checkpoint(sharded, str(tmp_path), step=11,
+                               backend="orbax")
+        restored = restore_checkpoint(path, sharded)
+        leaf_in = jax.tree_util.tree_leaves(sharded.params)
+        leaf_out = jax.tree_util.tree_leaves(restored.params)
+        shardings_match = [a.sharding == b.sharding
+                           for a, b in zip(leaf_in, leaf_out)]
+        assert all(shardings_match)
+        assert any(len(a.sharding.spec) > 0 for a in leaf_out)  # really sharded
+        for a, b in zip(leaf_in, leaf_out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

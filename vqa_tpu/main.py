@@ -136,6 +136,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="ZeRO-style sharding of params + Adam moments "
                              "over the data axis (composes with "
                              "--model_parallel)")
+    parser.add_argument("--ckpt_backend", type=str, default="flax",
+                        choices=["flax", "orbax"],
+                        help="checkpoint format: 'flax' = single msgpack "
+                             "file (host gather); 'orbax' = async sharded "
+                             "model_<step>.orbax directory — per-host shard "
+                             "writes + restore directly into TP/FSDP "
+                             "shardings. Both restore via --model_ckpt")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="gradient-accumulation microbatches per "
                              "optimizer step (lax.scan; activation memory "
@@ -612,7 +619,7 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
 
     from .train.checkpoint import AsyncCheckpointer
     from .train.profiling import SyncedRateTracker
-    checkpointer = AsyncCheckpointer()
+    checkpointer = AsyncCheckpointer(backend=args.ckpt_backend)
     timer = SyncedRateTracker(args.batch_size)
     profile_started = profile_done = args.profile_steps <= 0
 

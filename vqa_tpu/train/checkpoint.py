@@ -9,6 +9,16 @@ serialized with flax msgpack, so ``--model_ckpt`` resume is exact.
 Interop: ``load_any`` also accepts a reference-format ``.pth`` (weights-only;
 converted via ``vqa_tpu.models.convert``), so torch-trained weights can seed
 TPU training and parity tests.
+
+Backends: the default ``flax`` backend is a single msgpack file (gathers
+sharded arrays to host — exact, simple, single-host). The ``orbax`` backend
+(``--ckpt_backend orbax``) writes a ``model_<step>.orbax`` directory via
+orbax's async checkpointer: every host writes only its own shards and
+restore places arrays DIRECTLY into the template's shardings, so TP/FSDP
+states (parallel.sharding) checkpoint without ever materializing the full
+tree on one host — the scale path. Both backends restore through the same
+``restore_checkpoint``/``load_any``/``load_params_only`` calls (dispatch on
+the path), and ``latest`` resolution sees both formats.
 """
 
 from __future__ import annotations
@@ -22,15 +32,37 @@ from .state import TrainState
 
 CKPT_PREFIX = "model_"
 CKPT_SUFFIX = ".ckpt"
+ORBAX_SUFFIX = ".orbax"
 
 
-def checkpoint_path(log_dir: str, step: int) -> str:
-    return os.path.join(log_dir, f"{CKPT_PREFIX}{step}{CKPT_SUFFIX}")
+def checkpoint_path(log_dir: str, step: int, backend: str = "flax") -> str:
+    suffix = ORBAX_SUFFIX if backend == "orbax" else CKPT_SUFFIX
+    return os.path.join(log_dir, f"{CKPT_PREFIX}{step}{suffix}")
 
 
-def save_checkpoint(state: TrainState, log_dir: str, step: int | None = None) -> str:
+def _is_orbax(path: str) -> bool:
+    return path.endswith(ORBAX_SUFFIX) or os.path.isdir(path)
+
+
+def _abstract_like(template):
+    """ShapeDtypeStruct tree carrying the template's shardings (if placed)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                       sharding=getattr(a, "sharding", None)),
+        template)
+
+
+def save_checkpoint(state: TrainState, log_dir: str, step: int | None = None,
+                    backend: str = "flax") -> str:
     step = int(state.step) if step is None else step
-    path = checkpoint_path(log_dir, step)
+    path = checkpoint_path(log_dir, step, backend)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)  # orbax finalizes atomically
+        ckptr.wait_until_finished()
+        return path
     data = flax.serialization.to_bytes(state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -40,7 +72,15 @@ def save_checkpoint(state: TrainState, log_dir: str, step: int | None = None) ->
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
-    """Restore a full TrainState from a .ckpt written by save_checkpoint."""
+    """Restore a full TrainState from either backend's checkpoint.
+
+    orbax directories restore each array straight into the template leaf's
+    sharding (sharded template => sharded restore, no host gather).
+    """
+    if _is_orbax(path):
+        import orbax.checkpoint as ocp
+        return ocp.StandardCheckpointer().restore(
+            os.path.abspath(path), _abstract_like(template))
     with open(path, "rb") as f:
         data = f.read()
     return flax.serialization.from_bytes(template, data)
@@ -64,39 +104,57 @@ def load_any(path: str, template: TrainState, model_name: str) -> TrainState:
 
 
 def latest_checkpoint(log_dir: str) -> str | None:
-    """Highest-step model_<step>.ckpt in a run directory, if any."""
+    """Highest-step model_<step>.{ckpt,orbax} in a run directory, if any."""
     best = None
     best_step = -1
     for name in os.listdir(log_dir):
-        if name.startswith(CKPT_PREFIX) and name.endswith(CKPT_SUFFIX):
-            try:
-                step = int(name[len(CKPT_PREFIX):-len(CKPT_SUFFIX)])
-            except ValueError:
-                continue
-            if step > best_step:
-                best, best_step = os.path.join(log_dir, name), step
+        for suffix in (CKPT_SUFFIX, ORBAX_SUFFIX):
+            if name.startswith(CKPT_PREFIX) and name.endswith(suffix):
+                try:
+                    step = int(name[len(CKPT_PREFIX):-len(suffix)])
+                except ValueError:
+                    continue
+                if step > best_step:
+                    best, best_step = os.path.join(log_dir, name), step
     return best
 
 
 class AsyncCheckpointer:
-    """Background-thread checkpoint writer.
+    """Background checkpoint writer (flax thread or orbax async).
 
-    ``save`` snapshots the state to host memory synchronously (the device
-    transfer must be ordered with the training step) and hands serialization
-    + disk IO to a worker thread, so the train loop only pays the D2H copy.
-    One in-flight write at a time; ``wait`` joins the last write (call before
-    process exit).
+    flax backend: ``save`` snapshots the state to host memory synchronously
+    (the device transfer must be ordered with the training step) and hands
+    serialization + disk IO to a worker thread, so the train loop only pays
+    the D2H copy. orbax backend: delegates to orbax's own AsyncCheckpointer,
+    which copies shards off-device and writes them in the background —
+    per-host shard writes, no full-tree gather. One in-flight write at a
+    time either way; ``wait`` joins the last write (call before process
+    exit).
     """
 
-    def __init__(self):
+    def __init__(self, backend: str = "flax"):
         import threading
+        self.backend = backend
         self._thread = None
         self._lock = threading.Lock()
+        self._orbax = None
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+            self._orbax = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
 
     def save(self, state: TrainState, log_dir: str, step: int | None = None) -> None:
         import threading
 
         import jax
+
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+            step = int(state.step) if step is None else step
+            path = os.path.abspath(checkpoint_path(log_dir, step, "orbax"))
+            self.wait()
+            self._orbax.save(path, args=ocp.args.StandardSave(state),
+                             force=True)
+            return
 
         host_state = jax.device_get(state)
         step = int(host_state.step) if step is None else step
@@ -110,6 +168,9 @@ class AsyncCheckpointer:
             self._thread.start()
 
     def wait(self) -> None:
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
+            return
         with self._lock:
             t = self._thread
         if t is not None:
@@ -130,6 +191,10 @@ def load_params_only(path: str, model_name: str | None = None):
 
         sd = load_torch_state_dict(path)
         return from_torch(model_name, sd)
+    if _is_orbax(path):
+        import orbax.checkpoint as ocp
+        raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        return raw["params"], raw.get("batch_stats") or {}
     import flax.serialization
 
     with open(path, "rb") as f:
