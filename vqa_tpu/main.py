@@ -13,6 +13,11 @@ Beyond-reference capabilities (all opt-in or invisible by default):
 - full-state checkpoints -> exact resume (optimizer/step/rng restored);
   ``--model_ckpt`` also accepts reference ``.pth`` weight files;
 - ``--num_devices`` shards the batch over a data-parallel mesh (ICI);
+  ``--model_parallel``/``--fsdp``/``--seq_parallel`` add tensor, ZeRO and
+  sequence parallelism on a 2-D mesh (parallel/sharding.py);
+- ``--grad_accum`` microbatches the step (activation memory scales with
+  batch_size/grad_accum); ``--ckpt_backend orbax`` writes async sharded
+  checkpoints;
 - ``--synthetic_images``/``--host_size`` control the input pipeline when the
   COCO archive is absent;
 - ``--use_pallas`` routes co-attention through the fused Pallas kernel.
