@@ -190,6 +190,35 @@ class TestTrainDriver:
             s1.params, s4.params)
         assert max(jax.tree_util.tree_leaves(deltas)) < 1e-3
 
+    @pytest.mark.slow
+    def test_grad_accum_composes_with_mesh_cli(self, toy_data):
+        """--grad_accum 2 on an 8-device DP mesh reproduces the plain DP
+        trajectory through the CLI (attention model: no dropout, so the
+        accumulated step is exactly the monolithic one)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 simulated devices")
+
+        def run(tag, extra):
+            expt = os.path.join(toy_data["root"], f"expt_ga_{tag}")
+            run_main([
+                "--mode", "train", "--model", "attention",
+                "--batch_size", "8", "--num_cls", "3", "--num_workers", "2",
+                "--synthetic_images", "true", "--image_size", "32",
+                "--opt_lvl", "0", "--log_interval", "1", "--val_size", "0",
+                "--seed", "1", "--num_devices", "8", "--num_epochs", "1",
+                "--save_interval", "100",
+                "--expt_dir", expt, "--expt_name", "e", "--run_name", "r",
+                "--train_img", toy_data["root"], "--train_file",
+                toy_data["data"], "--vocab_file", toy_data["vocab"]] + extra)
+            import re
+            log = open(os.path.join(expt, "e", "r", "train_log.txt")).read()
+            return [float(x) for x in re.findall(r"Loss: ([0-9.]+)", log)]
+
+        plain = run("dp", [])
+        accum = run("ga", ["--grad_accum", "2"])
+        assert plain and len(plain) == len(accum)
+        np.testing.assert_allclose(accum, plain, atol=2e-4)
+
     def test_grad_accum_rejects_batch_stats_bn(self):
         from vqa_tpu.models import HierarchicalCoAttentionNet
         from vqa_tpu.train.steps import make_train_step
