@@ -52,7 +52,9 @@ methodology). Override via env:
 - ``BENCH_WORKERS`` (pipeline/decode host decode threads, default 4)
 - ``BENCH_GRAD_ACCUM`` (default 1): microbatched gradient accumulation in
   the train step (--grad_accum); e.g. BENCH_BATCH=640 BENCH_GRAD_ACCUM=4
-  benches effective-b640 training at b160 activation footprint
+  benches effective-b640 training at b160 activation footprint. Applies to
+  train/cached modes only (pipeline/eval/decode ignore it); must divide
+  BENCH_BATCH
 - ``BENCH_BASELINE_QPS`` (default 400.0)
 """
 
@@ -356,6 +358,9 @@ def main():
     else:
         tx = make_optimizer(1e-4, state.params, vgg_trainable=False)
         grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", 1))
+        if batch % max(grad_accum, 1):
+            raise SystemExit(f"BENCH_GRAD_ACCUM={grad_accum} must divide "
+                             f"BENCH_BATCH={batch}")
         train_step = make_train_step(model, tx, donate=True,
                                      image_is_features=(mode == "cached"),
                                      grad_accum=grad_accum)

@@ -416,12 +416,22 @@ def main(argv=None):
 
     mesh = get_mesh(args.num_devices, model_parallel=args.model_parallel) \
         if args.num_devices > 1 or args.force_mesh else None
+    if mesh is None and (args.model_parallel > 1 or args.fsdp):
+        raise SystemExit("--model_parallel/--fsdp need a device mesh: set "
+                         "--num_devices > 1 (or --force_mesh true)")
     if args.seq_parallel:
         if mesh is None or args.model_parallel <= 1:
             raise SystemExit("--seq_parallel requires --model_parallel > 1")
         if not hasattr(model, "act_mesh"):
             raise SystemExit(f"--seq_parallel is attention-family only "
                              f"(got --model {args.model})")
+        seq_len_s = (image_size // 32) ** 2  # VGG downsamples 32x
+        if seq_len_s % args.model_parallel:
+            raise SystemExit(
+                f"--seq_parallel: the image feature sequence S={seq_len_s} "
+                f"(image_size {image_size}) is not divisible by "
+                f"--model_parallel {args.model_parallel}; the constraint "
+                f"would silently no-op")
         model = model.clone(act_mesh=mesh)
 
     from .parallel.distributed import host_shard
@@ -589,6 +599,11 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
     model_sharded = mesh is not None and (args.model_parallel > 1 or args.fsdp)
     step_shardings = None
     if model_sharded:
+        import jax as _jax
+        if _jax.process_count() > 1 and args.ckpt_backend == "flax":
+            raise SystemExit("multi-host TP/FSDP states are not fully "
+                             "addressable: the flax checkpoint backend "
+                             "cannot gather them — use --ckpt_backend orbax")
         from .parallel.mesh import batch_sharding
         from .parallel.sharding import shard_state_to_mesh, state_shardings
         tp = args.model_parallel > 1
@@ -605,8 +620,7 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
     eval_step = make_eval_step(model, image_is_features=image_is_features)
 
     if model_sharded:
-        state = shard_state_to_mesh(state, mesh, tp=args.model_parallel > 1,
-                                    fsdp=args.fsdp)
+        state = shard_state_to_mesh(state, mesh, shardings=step_shardings[0])
     elif mesh is not None:
         state = replicate_to_mesh(state, mesh)
 

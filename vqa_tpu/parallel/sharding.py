@@ -155,19 +155,28 @@ def state_shardings(state, mesh: Mesh, tp: bool = True, fsdp: bool = True):
     return jax.tree_util.tree_map_with_path(_leaf, state)
 
 
-def shard_state_to_mesh(state, mesh: Mesh, tp: bool = True, fsdp: bool = True):
+def shard_state_to_mesh(state, mesh: Mesh, tp: bool = True, fsdp: bool = True,
+                        shardings=None):
     """Place a TrainState on a 2-D mesh under the TP/FSDP rules.
 
     The model-parallel analogue of ``parallel.mesh.replicate_to_mesh``; on a
     mesh without a real ``model`` axis and with ``fsdp=False`` it degrades to
-    exact replication. Multi-host: host values are identical on every process
-    (same init seed / restored checkpoint), so ``device_put`` with a
-    NamedSharding is well-defined globally.
+    exact replication. Multi-host: every process holds the identical full
+    value (same init seed / restored checkpoint), so ``global_shape`` is the
+    host array's own shape — each process then contributes just its
+    addressable shards (without it, jax would infer a concatenated global
+    shape and build a wrong-shaped array for process-spanning specs).
+
+    ``shardings``: optional precomputed ``state_shardings(...)`` tree, so a
+    caller that also pins the step's in/out shardings walks the tree once.
     """
-    shardings = state_shardings(state, mesh, tp=tp, fsdp=fsdp)
+    if shardings is None:
+        shardings = state_shardings(state, mesh, tp=tp, fsdp=fsdp)
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(jax.device_put, state, shardings)
     import numpy as np
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
-        state, shardings)
+
+    def _place(x, s):
+        h = np.asarray(x)
+        return jax.make_array_from_process_local_data(s, h, global_shape=h.shape)
+    return jax.tree_util.tree_map(_place, state, shardings)

@@ -93,6 +93,10 @@ def make_train_step(model, tx, vgg_trainable: bool = False, donate: bool = True,
             accuracy = jnp.mean((jnp.argmax(logits, axis=-1)
                                  == batch["label"]).astype(jnp.float32))
         else:
+            n = batch["label"].shape[0]
+            if n % grad_accum:
+                raise ValueError(f"grad_accum={grad_accum} must divide the "
+                                 f"batch size {n}")
             micro = jax.tree_util.tree_map(
                 lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
                                     + x.shape[1:]), batch)
