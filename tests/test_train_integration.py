@@ -227,6 +227,29 @@ class TestTrainDriver:
         with pytest.raises(ValueError, match="running-stats"):
             make_train_step(model, None, grad_accum=2, bn_batch_stats=True)
 
+    def test_cli_guards_fail_fast(self, toy_data):
+        """The new flag combinations fail at startup with clear messages,
+        never silently no-op (code-review findings)."""
+        args = BASE_ARGS + [
+            "--expt_dir", os.path.join(toy_data["root"], "expt_guard"),
+            "--expt_name", "e", "--run_name", "r",
+            "--train_img", toy_data["root"], "--train_file", toy_data["data"],
+            "--vocab_file", toy_data["vocab"], "--num_epochs", "1"]
+        with pytest.raises(SystemExit, match="need a device mesh"):
+            run_main(args + ["--model_parallel", "2"])
+        with pytest.raises(SystemExit, match="model_parallel > 1"):
+            run_main(args + ["--num_devices", "8", "--seq_parallel", "true"])
+        with pytest.raises(SystemExit, match="attention-family"):
+            run_main(args + ["--num_devices", "8", "--model_parallel", "2",
+                             "--seq_parallel", "true"])  # baseline model
+        with pytest.raises(SystemExit, match="not divisible"):
+            # attention at image 32 -> S=1; 1 % 2 != 0
+            run_main([a if a != "baseline" else "attention" for a in args]
+                     + ["--num_devices", "8", "--model_parallel", "2",
+                        "--seq_parallel", "true"])
+        with pytest.raises(SystemExit, match="must divide"):
+            run_main(args + ["--grad_accum", "3"])  # batch_size 4
+
     @pytest.mark.slow
     def test_midepoch_resume_reproduces_trajectory(self, toy_data, tmp_path):
         """Kill at a mid-epoch step, resume from the checkpoint, and the
