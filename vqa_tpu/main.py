@@ -159,6 +159,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "the model axis in the co-attention block; "
                              "requires --model_parallel > 1 and the "
                              "attention model")
+    parser.add_argument("--preempt_save", type=str2bool, default="true",
+                        help="on SIGTERM, save a full checkpoint at the next "
+                             "step boundary and exit cleanly (resume with "
+                             "--model_ckpt latest; exact intra-epoch resume). "
+                             "A second SIGTERM kills immediately")
     parser.add_argument("--force_mesh", type=str2bool, default="false",
                         help="build the GSPMD data mesh even when "
                              "--num_devices is 1 — runs the sharded code "
@@ -642,6 +647,12 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
     timer = SyncedRateTracker(args.batch_size)
     profile_started = profile_done = args.profile_steps <= 0
 
+    guard = None
+    if args.preempt_save:
+        from .train.preemption import PreemptionGuard
+        guard = PreemptionGuard().install()
+    preempted = False
+
     from .data.pipeline import device_prefetch
 
     def prepare_batch(b):
@@ -694,6 +705,21 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
 
             curr_step += 1
 
+            if guard is not None and guard.triggered:
+                # preemption: persist the exact position (full TrainState,
+                # same artifact as --save_interval saves) and leave cleanly;
+                # --model_ckpt latest resumes bit-exactly mid-epoch
+                print_and_log(
+                    f"SIGTERM received: saving checkpoint at step {curr_step} "
+                    f"to {log_dir} and exiting; resume with --model_ckpt "
+                    f"latest", log_file)
+                checkpointer.save(state, log_dir, curr_step)
+                preempted = True
+                break
+
+        if preempted:
+            break
+
         if val_loader is not None:
             vm = compute_validation_metrics(
                 eval_step, state.variables(), iter(val_loader),
@@ -708,6 +734,8 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
         _profiler.stop_trace()
         print_and_log(f"profiler trace written to {log_dir}", log_file)
     checkpointer.wait()
+    if guard is not None:
+        guard.uninstall()
     writer.close()
     log_file.close()
 

@@ -1,0 +1,66 @@
+"""Preemption-safe training: SIGTERM → checkpoint at the next step boundary.
+
+Production TPU fleets run on preemptible/spot capacity where the supervisor
+delivers SIGTERM with a grace window before hard-killing the VM. The
+reference framework has no story for this (a kill loses everything since the
+last periodic save, /root/reference/main.py:178-185 saves only every
+``save_interval`` steps); here the train loop polls a signal-set flag once
+per step, writes a full TrainState checkpoint (the same artifact as
+``--save_interval`` saves), and exits cleanly — so ``--model_ckpt latest``
+resumes bit-exactly via the exact intra-epoch resume (pipeline.set_epoch
+skip_batches).
+
+Semantics:
+
+- First SIGTERM: set the flag; the loop saves and exits at the next step
+  boundary (typically well under a second of training left to run).
+- Second SIGTERM: restore the default disposition and re-raise, so an
+  escalating supervisor can still kill the process immediately if the
+  checkpoint write hangs.
+- The handler acts only in the process that installed it — ``native_mp``
+  decode workers and the orbax async writer run in their own
+  processes/threads and never see the flag.
+- Single-host semantics. On a multi-host pod each host receives its own
+  SIGTERM from its own supervisor; the per-host flags trigger the same
+  step-boundary save, which is a collective-free host-local write under the
+  orbax backend (per-host shard files) and therefore safe as long as every
+  host is preempted (GKE/TPU-VM preemption signals the whole slice).
+  Partial-slice SIGTERM (one host only) is out of scope — the surviving
+  hosts would block in the next step's collectives regardless of what the
+  signaled host does.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+
+
+class PreemptionGuard:
+    """Polls ``triggered`` once per train step; see module docstring."""
+
+    def __init__(self):
+        self.triggered = False
+        self._pid = os.getpid()
+        self._prev = None
+
+    def install(self) -> "PreemptionGuard":
+        self._prev = signal.signal(signal.SIGTERM, self._on_sigterm)
+        return self
+
+    def uninstall(self) -> None:
+        if self._prev is not None and os.getpid() == self._pid:
+            signal.signal(signal.SIGTERM, self._prev)
+            self._prev = None
+
+    def _on_sigterm(self, signum, frame):
+        if os.getpid() != self._pid:  # forked child inherited the handler
+            signal.signal(signal.SIGTERM, signal.SIG_DFL)
+            os.kill(os.getpid(), signal.SIGTERM)
+            return
+        if self.triggered:
+            # second SIGTERM: stop shielding — die like a default process
+            signal.signal(signal.SIGTERM, signal.SIG_DFL)
+            os.kill(os.getpid(), signal.SIGTERM)
+            return
+        self.triggered = True
