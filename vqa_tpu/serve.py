@@ -301,14 +301,25 @@ def main(argv=None):
         img_paths.append(os.path.join(args.img_dir, parts[0]))
         questions.append(parts[1])
 
-    results = predictor.predict(img_paths, questions, top_k=args.top_k)
+    # stream results batch-by-batch (the chunking mirrors predict()'s own
+    # internal batching, so the compiled path is identical): each completed
+    # batch is on disk before the next one runs — a mid-run kill keeps all
+    # finished work, and memory stays bounded by one batch of results
     out = open(args.output, "w") if args.output else sys.stdout
-    for path, q, r in zip(img_paths, questions, results):
-        out.write(json.dumps({"image": os.path.basename(path),
-                              "question": q.replace(",", " "), **r}) + "\n")
+    n_written = 0
+    for start in range(0, len(questions), args.batch_size):
+        chunk_p = img_paths[start:start + args.batch_size]
+        chunk_q = questions[start:start + args.batch_size]
+        for path, q, r in zip(chunk_p, chunk_q,
+                              predictor.predict(chunk_p, chunk_q,
+                                                top_k=args.top_k)):
+            out.write(json.dumps({"image": os.path.basename(path),
+                                  "question": q.replace(",", " "), **r}) + "\n")
+            n_written += 1
+        out.flush()
     if args.output:
         out.close()
-        print(f"wrote {len(results)} predictions to {args.output}")
+        print(f"wrote {n_written} predictions to {args.output}")
 
 
 if __name__ == "__main__":
