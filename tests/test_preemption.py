@@ -118,3 +118,52 @@ class TestPreemptionEndToEnd:
         after = {int(f.split("_")[1].split(".")[0])
                  for f in os.listdir(log_dir) if f.startswith("model_")}
         assert max(after) > max(steps)  # training continued past the preempt
+
+    def test_group_sigterm_with_decode_workers_still_saves(self, toy):
+        """SLURM-style group delivery (kill -- -PGID) must not lose the save.
+
+        The native_mp decode workers are plain subprocesses in the trainer's
+        process group, so a group SIGTERM hits them too; they ignore it
+        (_decode_worker.serve installs SIG_IGN) and keep serving the
+        in-flight batch so the parent reaches its step-boundary checkpoint.
+        Uses real JPEGs so the native_mp pool actually spawns.
+        """
+        from PIL import Image
+        rng = np.random.default_rng(3)
+        img_dir = os.path.join(toy["root"], "jpegs")
+        os.makedirs(img_dir, exist_ok=True)
+        for i in range(32):
+            arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(img_dir, f"img{i}.jpg"))
+
+        expt = os.path.join(toy["root"], "expt_group")
+        log_dir = os.path.join(expt, "e", "r")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("XLA_FLAGS", None)
+        args = _train_args(toy, expt, ["--num_epochs", "200",
+                                       "--decode", "native_mp"])
+        args[args.index("--train_img") + 1] = img_dir
+        args[args.index("--synthetic_images") + 1] = "false"
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vqa_tpu.main"] + args,
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
+            start_new_session=True)  # own PGID so killpg targets this tree
+        try:
+            log_path = os.path.join(log_dir, "train_log.txt")
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                if os.path.exists(log_path) and "Step [" in open(log_path).read():
+                    break
+                time.sleep(0.5)
+            else:
+                pytest.fail("training subprocess never logged a step")
+            os.killpg(proc.pid, signal.SIGTERM)  # the supervisor's group kill
+            rc = proc.wait(timeout=120)
+        finally:
+            if proc.poll() is None:
+                os.killpg(proc.pid, signal.SIGKILL)
+        assert rc == 0, "group SIGTERM crashed the trainer instead of saving"
+        ckpts = [f for f in os.listdir(log_dir) if f.startswith("model_")]
+        assert ckpts, "group SIGTERM did not produce a checkpoint"
+        log = open(os.path.join(log_dir, "train_log.txt")).read()
+        assert "SIGTERM received" in log

@@ -30,6 +30,18 @@ import sys
 
 
 def serve() -> None:
+    # Preemption supervisors (SLURM, `kill -- -PGID`) deliver SIGTERM to the
+    # whole process group, and this worker is a plain subprocess in the
+    # parent's group. The parent's PreemptionGuard needs workers alive long
+    # enough to serve the in-flight batch so training reaches its
+    # step-boundary checkpoint — so ignore SIGTERM here. Clean shutdown is
+    # the parent closing our stdin (readline → b"" below); an escalating
+    # supervisor's SIGKILL still works.
+    import signal
+    try:
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
+    except (ValueError, OSError):  # non-main thread / exotic platform
+        pass
     stdin = sys.stdin.buffer
     stdout = sys.stdout.buffer
     # light imports only (numpy/PIL/ctypes): vqa_tpu.data's __init__ is

@@ -658,86 +658,109 @@ def train(args, model, vocab, preprocess, make_loader, log_dir, parser, mesh=Non
     def prepare_batch(b):
         return _device_batch(b, preprocess, mesh)
 
-    for epoch in range(args.num_epochs):
-        for device_batch in device_prefetch(train_loader, prepare_batch,
-                                            depth=args.prefetch_batches):
-            # profile a post-warmup window of steps (compile excluded)
-            if not profile_started and curr_step >= 3:
-                from jax import profiler as _profiler
-                _profiler.start_trace(log_dir)
-                profile_started = True
-                profile_stop_at = curr_step + args.profile_steps
-            if profile_started and not profile_done and curr_step >= profile_stop_at:
-                from jax import profiler as _profiler
-                _profiler.stop_trace()
-                profile_done = True
-                print_and_log(f"profiler trace written to {log_dir}", log_file)
+    def _preemption_save():
+        # persist the exact position (full TrainState, same artifact as
+        # --save_interval saves) and leave cleanly; --model_ckpt latest
+        # resumes bit-exactly mid-epoch
+        print_and_log(
+            f"SIGTERM received: saving checkpoint at step {curr_step} "
+            f"to {log_dir} and exiting; resume with --model_ckpt "
+            f"latest", log_file)
+        checkpointer.save(state, log_dir, curr_step)
 
-            state, metrics = train_step(state, device_batch)
+    try:
+        for epoch in range(args.num_epochs):
+            for device_batch in device_prefetch(train_loader, prepare_batch,
+                                                depth=args.prefetch_batches):
+                # profile a post-warmup window of steps (compile excluded)
+                if not profile_started and curr_step >= 3:
+                    from jax import profiler as _profiler
+                    _profiler.start_trace(log_dir)
+                    profile_started = True
+                    profile_stop_at = curr_step + args.profile_steps
+                if profile_started and not profile_done and curr_step >= profile_stop_at:
+                    from jax import profiler as _profiler
+                    _profiler.stop_trace()
+                    profile_done = True
+                    print_and_log(f"profiler trace written to {log_dir}", log_file)
 
-            if (curr_step + 1) % args.log_interval == 0 or curr_step == 1:
-                loss_val = float(metrics["loss"])   # device sync point
-                timer.mark(curr_step)               # before validation runs
-                if val_loader is not None:
-                    vm = compute_validation_metrics(
-                        eval_step, state.variables(), iter(val_loader),
-                        prepare_batch, args.batch_size, args.val_size)
+                state, metrics = train_step(state, device_batch)
+
+                if (curr_step + 1) % args.log_interval == 0 or curr_step == 1:
+                    loss_val = float(metrics["loss"])   # device sync point
+                    timer.mark(curr_step)               # before validation runs
+                    if val_loader is not None:
+                        vm = compute_validation_metrics(
+                            eval_step, state.variables(), iter(val_loader),
+                            prepare_batch, args.batch_size, args.val_size)
+                        print_and_log(
+                            "Validation Accuracy: {:.2f} %  || Validation Loss: {:.4f}"
+                            .format(vm["accuracy"], vm["loss"]), log_file)
+                        writer.add_scalar("Val/Accuracy", vm["accuracy"], curr_step)
+                        writer.add_scalar("Val/Loss", vm["loss"], curr_step)
+
+                    writer.add_scalar("Train/Loss", loss_val, curr_step)
+                    writer.add_scalar("Train/QAPairsPerSec", timer.qa_pairs_per_sec,
+                                      curr_step)
+                    elapsed, left = eta(curr_step)
                     print_and_log(
-                        "Validation Accuracy: {:.2f} %  || Validation Loss: {:.4f}"
-                        .format(vm["accuracy"], vm["loss"]), log_file)
-                    writer.add_scalar("Val/Accuracy", vm["accuracy"], curr_step)
-                    writer.add_scalar("Val/Loss", vm["loss"], curr_step)
+                        "Epoch [{}/{}], Step [{}/{}], Loss: {:.4f} | time elapsed: "
+                        "{:.2f}h | time left: {:.2f}h | {}".format(
+                            epoch + 1, args.num_epochs, curr_step + 1, steps_per_epoch,
+                            loss_val, elapsed, left, timer.summary()), log_file)
 
-                writer.add_scalar("Train/Loss", loss_val, curr_step)
-                writer.add_scalar("Train/QAPairsPerSec", timer.qa_pairs_per_sec,
-                                  curr_step)
-                elapsed, left = eta(curr_step)
-                print_and_log(
-                    "Epoch [{}/{}], Step [{}/{}], Loss: {:.4f} | time elapsed: "
-                    "{:.2f}h | time left: {:.2f}h | {}".format(
-                        epoch + 1, args.num_epochs, curr_step + 1, steps_per_epoch,
-                        loss_val, elapsed, left, timer.summary()), log_file)
+                if (curr_step + 1) % args.save_interval == 0:
+                    print(f"Saving the model at the {curr_step + 1} step to "
+                          f"directory:{log_dir}")
+                    checkpointer.save(state, log_dir, curr_step + 1)
 
-            if (curr_step + 1) % args.save_interval == 0:
-                print(f"Saving the model at the {curr_step + 1} step to "
-                      f"directory:{log_dir}")
-                checkpointer.save(state, log_dir, curr_step + 1)
+                curr_step += 1
 
-            curr_step += 1
+                if guard is not None and guard.triggered:
+                    _preemption_save()
+                    preempted = True
+                    break
+
+            if preempted:
+                break
 
             if guard is not None and guard.triggered:
-                # preemption: persist the exact position (full TrainState,
-                # same artifact as --save_interval saves) and leave cleanly;
-                # --model_ckpt latest resumes bit-exactly mid-epoch
-                print_and_log(
-                    f"SIGTERM received: saving checkpoint at step {curr_step} "
-                    f"to {log_dir} and exiting; resume with --model_ckpt "
-                    f"latest", log_file)
-                checkpointer.save(state, log_dir, curr_step)
+                # SIGTERM landed after the last step's poll (e.g. during the
+                # prefetcher's epoch-end drain): skip the epoch-end
+                # validation pass and save immediately
+                _preemption_save()
                 preempted = True
                 break
 
-        if preempted:
-            break
-
-        if val_loader is not None:
-            vm = compute_validation_metrics(
-                eval_step, state.variables(), iter(val_loader),
-                prepare_batch, args.batch_size, len(val_dataset))
-            print_and_log(
-                "\nAfter {} epoch:\nValidation Accuracy: {:.2f} %  || "
-                "Validation Loss: {:.4f}\n".format(epoch + 1, vm["accuracy"],
-                                                   vm["loss"]), log_file)
-
-    if profile_started and not profile_done:
-        from jax import profiler as _profiler
-        _profiler.stop_trace()
-        print_and_log(f"profiler trace written to {log_dir}", log_file)
-    checkpointer.wait()
-    if guard is not None:
-        guard.uninstall()
-    writer.close()
-    log_file.close()
+            if val_loader is not None:
+                vm = compute_validation_metrics(
+                    eval_step, state.variables(), iter(val_loader),
+                    prepare_batch, args.batch_size, len(val_dataset))
+                print_and_log(
+                    "\nAfter {} epoch:\nValidation Accuracy: {:.2f} %  || "
+                    "Validation Loss: {:.4f}\n".format(epoch + 1, vm["accuracy"],
+                                                       vm["loss"]), log_file)
+    except Exception:
+        # A SIGTERM delivered to the whole process group can kill pieces the
+        # loop depends on faster than the step-boundary poll runs (the
+        # decode workers now ignore SIGTERM, but loaders can still fail for
+        # group-signal reasons). If the guard fired, a loader crash must
+        # still end in a checkpoint — that is the feature's contract.
+        if guard is not None and guard.triggered and not preempted:
+            _preemption_save()
+            preempted = True
+        else:
+            raise
+    finally:
+        if profile_started and not profile_done:
+            from jax import profiler as _profiler
+            _profiler.stop_trace()
+            print_and_log(f"profiler trace written to {log_dir}", log_file)
+        checkpointer.wait()
+        if guard is not None:
+            guard.uninstall()
+        writer.close()
+        log_file.close()
 
 
 def test(args, model, vocab, preprocess, make_loader, log_dir, mesh=None):

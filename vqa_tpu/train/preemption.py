@@ -13,13 +13,25 @@ skip_batches).
 Semantics:
 
 - First SIGTERM: set the flag; the loop saves and exits at the next step
-  boundary (typically well under a second of training left to run).
+  boundary — in steady state well under a second of training left to run.
+  BLIND WINDOW: the flag is only polled between completed steps, so a
+  SIGTERM that lands during the first compile (3-25+ min for new 448²
+  shapes on this tunnel) cannot be honored before a typical 30-90 s grace
+  window expires — same loss as the reference in that case. Pre-warm the
+  compilation cache before running on preemptible capacity. The epoch-end
+  validation pass is NOT a blind window: the loop re-polls the flag before
+  entering validation and saves immediately, skipping it.
 - Second SIGTERM: restore the default disposition and re-raise, so an
   escalating supervisor can still kill the process immediately if the
   checkpoint write hangs.
-- The handler acts only in the process that installed it — ``native_mp``
-  decode workers and the orbax async writer run in their own
-  processes/threads and never see the flag.
+- The handler acts only in the process that installed it, but group-wide
+  delivery (``kill -- -PGID``, SLURM) also signals the ``native_mp`` decode
+  workers — which therefore ignore SIGTERM themselves
+  (``data/_decode_worker.py:serve``; their clean-shutdown path is the
+  parent closing stdin) so the in-flight batch still decodes and training
+  reaches its step-boundary save. If a loader still dies for group-signal
+  reasons after the flag is set, the train loop's except-path saves the
+  checkpoint anyway before re-raising is suppressed (``main.py:train``).
 - Single-host semantics. On a multi-host pod each host receives its own
   SIGTERM from its own supervisor; the per-host flags trigger the same
   step-boundary save, which is a collective-free host-local write under the
