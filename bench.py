@@ -66,11 +66,12 @@ import time
 
 _T0 = time.perf_counter()  # budget clock: starts before the jax import cost
 
-# Persistent compilation cache: if the backend honors it, a bench run primes
-# the cache for the driver's end-of-round run on the same host (no-op where
-# unsupported — e.g. if the axon tunnel compiles server-side).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vqa_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Persistent compilation cache (non-volatile ~/.cache default — /tmp was
+# wiped mid-round in r3; see vqa_tpu/compile_cache.py): a bench run primes
+# the cache for the driver's end-of-round run on the same host.
+from vqa_tpu.compile_cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 import jax
 import jax.numpy as jnp
@@ -373,7 +374,16 @@ def main():
             float(metrics["loss"])  # final loss depends on every prior step
             return time.perf_counter() - t0
 
+    # Flushed pre-window status: if the driver's budget kills the run during
+    # a new-shape compile (the r3 artifact failure mode), the tail says WHAT
+    # was compiling instead of showing zero output.
+    print(f"# compiling {mode} {model_name} b{batch}@{image_size}"
+          f"{' ga' + os.environ['BENCH_GRAD_ACCUM'] if os.environ.get('BENCH_GRAD_ACCUM', '1') != '1' else ''}"
+          f" (cache: {os.environ.get('JAX_COMPILATION_CACHE_DIR')}) ...",
+          flush=True)
     run_window(2)  # warmup: first call compiles; second runs the real step
+    print(f"# compile+warmup done at t+{time.perf_counter() - _T0:.0f}s; "
+          f"budget left {_budget_left():.0f}s", flush=True)
     # If startup (compiles, calibration, imports) already blew the budget,
     # shrink the one guaranteed window so a line still prints promptly.
     if _budget_left() <= 0:

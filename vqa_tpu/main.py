@@ -42,6 +42,13 @@ import jax
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Persistent compilation cache: 448^2 train-step compiles cost 3-25+ min
+# through the TPU tunnel; without this every CLI session pays them again
+# (JAX_COMPILATION_CACHE_DIR overrides the ~/.cache default).
+from .compile_cache import setup_compilation_cache
+
+setup_compilation_cache()
+
 import jax.numpy as jnp
 import numpy as np
 

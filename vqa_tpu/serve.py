@@ -29,6 +29,10 @@ import jax
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+from .compile_cache import setup_compilation_cache
+
+setup_compilation_cache()
+
 import jax.numpy as jnp
 import numpy as np
 
