@@ -135,6 +135,14 @@ class TestDryrunEntry:
         dryrun_multichip(4)
         assert "OK" in capsys.readouterr().out
 
+    def test_dryrun_odd_n_skips_2d_leg_loudly(self, eight_devices, capsys):
+        """An odd-n driver call must say the tp+sp+fsdp leg was skipped
+        instead of reporting an OK that looks like a 2-D pass."""
+        from __graft_entry__ import dryrun_multichip
+        dryrun_multichip(3)
+        out = capsys.readouterr().out
+        assert "OK" in out and "SKIPPED (odd n)" in out
+
     def test_entry_compiles(self):
         from __graft_entry__ import entry
         fn, args = entry()

@@ -203,6 +203,32 @@ class TestTPNumerics:
                                    np.asarray(feats_plain),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_seq_parallel_indivisible_warns_and_replicates(self,
+                                                           eight_devices,
+                                                           caplog):
+        """S % model_axis != 0 must not silently drop SP for programmatic
+        users (the CLI guards at startup; build_model + act_mesh does not):
+        a trace-time warning fires and values are unchanged."""
+        import logging
+
+        from vqa_tpu.models.coattention import ImageCoAttentionEncoder
+
+        mesh = get_mesh(8, model_parallel=2)
+        rng = jax.random.PRNGKey(0)
+        img = jax.random.normal(rng, (8, 96, 96, 3))  # S = 9, not % 2
+
+        enc_sp = ImageCoAttentionEncoder(act_mesh=mesh)
+        variables = jax.jit(enc_sp.init)({"params": rng}, img)
+        img_sharded = jax.device_put(img, batch_sharding(mesh))
+        with caplog.at_level(logging.WARNING,
+                             logger="vqa_tpu.models.coattention"):
+            feats = jax.jit(enc_sp.apply)(variables, img_sharded)
+        assert any("sequence parallelism is OFF" in r.getMessage()
+                   for r in caplog.records)
+        assert feats.shape == (8, 9, 512)
+        # replicated fallback, not a partial shard
+        assert feats.sharding.spec != P("data", MODEL_AXIS)
+
     def test_baseline_family_tp_step(self, eight_devices):
         """The baseline (VGG x GRU) rules compile and run on a (4,2) mesh."""
         from vqa_tpu.models import VQABaselineNet

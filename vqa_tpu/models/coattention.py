@@ -49,7 +49,16 @@ def _seq_shard(x, mesh):
         return x
     from jax.sharding import NamedSharding, PartitionSpec as P
     mp = mesh.shape.get("model", 1)
-    if mp <= 1 or x.shape[1] % mp:
+    if mp <= 1:
+        return x
+    if x.shape[1] % mp:
+        # CLI runs are guarded at startup (main.py); programmatic users
+        # (build_model + act_mesh directly) must not silently lose SP
+        import logging
+        logging.getLogger(__name__).warning(
+            "seq_parallel: S=%d not divisible by model axis %d — replicating "
+            "the sequence dim (sequence parallelism is OFF for this shape)",
+            x.shape[1], mp)
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P("data", "model", None)))
