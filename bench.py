@@ -44,7 +44,8 @@ methodology). Override via env:
     ``BENCH_DATA_DIR`` (default /tmp/synthvqa; auto-generated if absent);
   * 'decode': host JPEG decode throughput, native C++ decoder vs PIL
     (vs_baseline = native/PIL speedup).
-- ``BENCH_PALLAS`` ('1' routes co-attention through the fused Pallas kernel)
+- ``BENCH_PALLAS`` (RETIRED r5: the fused co-attention kernel moved to
+  tools/retired/ per PARITY.md M8; '1' now fails fast with that pointer)
 - ``BENCH_CONV0`` ('0' disables the fused Pallas stage-1 VGG conv)
 - ``BENCH_INT8`` ('1' enables the int8-PTQ frozen backbone, --int8_backbone)
 - ``BENCH_FUSED`` ('0' disables the fused conv0->conv1 stem, --fused_stem,

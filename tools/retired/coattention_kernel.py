@@ -185,7 +185,7 @@ def _coattention_pallas(params, x_img, q_stacked, block_b: int = 4):
 
 def _xla_reference(params, x_img, q_stacked):
     """The autodiff/numerics oracle (same math as coattention_xla)."""
-    from ..models.coattention import coattention_xla
+    from vqa_tpu.models.coattention import coattention_xla
 
     levels = [q_stacked[:, i] for i in range(NUM_LEVELS)]
     img_feats, ques_feats = coattention_xla(params, x_img, levels)

@@ -12,7 +12,11 @@ import jax
 import jax.numpy as jnp
 
 from vqa_tpu.models.coattention import coattention_xla
-from vqa_tpu.ops.coattention_kernel import coattention_fused
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from coattention_kernel import coattention_fused  # noqa: E402 (retired, lives beside this file)
 
 
 @pytest.fixture(scope="module")
@@ -80,8 +84,9 @@ class TestCoAttentionKernel:
         out_v, _ = coattention_fused(params, V6, Q6)
         np.testing.assert_allclose(out_v[0], ref_v[0], rtol=1e-5, atol=1e-5)
 
-    def test_inside_model(self, problem):
-        """use_pallas=True end-to-end through HierarchicalCoAttentionNet."""
+    def test_inside_model_is_retired(self, problem):
+        """use_pallas=True now fails fast with the retirement pointer
+        (PARITY.md M8) instead of silently running something else."""
         from vqa_tpu.models import HierarchicalCoAttentionNet
 
         B, L, Vo, K = 4, 7, 40, 5
@@ -89,9 +94,6 @@ class TestCoAttentionKernel:
         ques = jax.random.randint(jax.random.PRNGKey(2), (B, L), 1, Vo)
         lens = jnp.full((B,), L, jnp.int32)
 
-        net_x = HierarchicalCoAttentionNet(vocab_size=Vo, K=K, use_pallas=False)
-        net_p = HierarchicalCoAttentionNet(vocab_size=Vo, K=K, use_pallas=True)
-        vs = net_x.init({"params": jax.random.PRNGKey(3)}, img, ques, lens)
-        out_x = net_x.apply(vs, img, ques, lens)
-        out_p = net_p.apply(vs, img, ques, lens)  # same params tree
-        np.testing.assert_allclose(out_p, out_x, rtol=1e-4, atol=1e-4)
+        with pytest.raises(NotImplementedError, match="retired"):
+            HierarchicalCoAttentionNet(vocab_size=Vo, K=K, use_pallas=True).init(
+                {"params": jax.random.PRNGKey(3)}, img, ques, lens)

@@ -20,7 +20,8 @@ Beyond-reference capabilities (all opt-in or invisible by default):
   checkpoints;
 - ``--synthetic_images``/``--host_size`` control the input pipeline when the
   COCO archive is absent;
-- ``--use_pallas`` routes co-attention through the fused Pallas kernel.
+- ``--use_pallas`` is RETIRED (r5): the experimental fused co-attention
+  kernel lives in tools/retired/ (PARITY.md M8); 'true' fails fast.
 
 GPU-only reference flags (``--gpu_id``) are accepted and ignored with a note,
 keeping launch scripts working.
@@ -178,7 +179,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "collectives) on a single chip, validating the "
                              "multi-device program on real hardware")
     parser.add_argument("--use_pallas", type=str2bool, default="false",
-                        help="fused Pallas co-attention kernel (attention model)")
+                        help="RETIRED r5 (PARITY.md M8): the fused co-attention "
+                             "kernel moved to tools/retired/; 'true' now fails "
+                             "fast with that pointer")
     parser.add_argument("--synthetic_images", type=str2bool, default="false",
                         help="deterministic synthetic images when files are missing")
     parser.add_argument("--host_size", type=int, default=0,

@@ -15,10 +15,11 @@ are load-bearing for logit parity — SURVEY.md M7/M8):
    pack/pad zeroing reproduced by ``layers.LSTM``) contribute tanh(bias)
    rows to the softmax (model.py:387-388).
 
-The co-attention block runs either as plain XLA (this file) or as a single
-fused Pallas kernel (``vqa_tpu.ops.coattention_kernel``) selected by
-``use_pallas`` — both produce the same values; the XLA path is the
-reference implementation for kernel tests.
+The co-attention block runs as plain XLA — measured at ~2% of the train
+step with XLA fusing the whole block (r5 device profile). The experimental
+fused Pallas kernel was retired in r5 (PARITY.md M8 criterion) to
+``tools/retired/coattention_kernel.py``; ``use_pallas=True`` fails fast
+with that pointer.
 """
 
 from __future__ import annotations
@@ -174,9 +175,8 @@ class ParallelCoAttention(nn.Module):
     applies in forward (quirk #2) — we do not materialize it; the ``.pth``
     converter drops it on import and re-synthesizes it on export.
 
-    ``use_pallas=True`` routes the whole block (affinity matmul + tanh + both
-    softmaxes + weighted pooling, all 3 levels) through one fused Pallas
-    kernel; values match this XLA path. Softmaxes run in fp32 either way.
+    ``use_pallas=True`` raises: the fused kernel was retired in r5
+    (PARITY.md M8) to tools/retired/. Softmaxes run in fp32.
     """
 
     hidden_dim: int
@@ -201,8 +201,14 @@ class ParallelCoAttention(nn.Module):
         params = tuple(p.astype(cd) for p in (W_v, b_v, W_q, b_q, w_v, c_v, w_q, c_q))
 
         if self.use_pallas:
-            from ..ops.coattention_kernel import coattention_fused
-            return coattention_fused(params, x_img, x_ques_hierarchy)
+            # retired r5 (PARITY.md M8): XLA fuses the whole block in
+            # ~1.7 ms (< 2% of the step, r5 device profile) and beat the
+            # kernel at every production shape for three rounds
+            raise NotImplementedError(
+                "the fused co-attention Pallas kernel was retired in r5 "
+                "(PARITY.md M8 criterion); the code lives in "
+                "tools/retired/coattention_kernel.py — restore it there if "
+                "a 10x S*L workload or an int8 co-attention path appears")
         return coattention_xla(params, x_img, x_ques_hierarchy)
 
 
