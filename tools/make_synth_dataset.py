@@ -159,6 +159,44 @@ def write_split(path, pairs):
             f.write(f"{name}\t{q}\t{a}\n")
 
 
+GRIDPAIR_TEMPLATES = [
+    "what,colors,are,the,{p1},and,{p2},cells",
+    "name,the,colors,of,the,{p1},cell,then,the,{p2},cell",
+    "reading,{p1},first,then,{p2},which,colors,do,you,see",
+    "give,the,{p1},cell,color,followed,by,the,{p2},cell,color",
+]
+
+
+def generate_gridpair(args, rng):
+    """Production-head-width task (r4 VERDICT item 7): the question names
+    TWO grid positions (ordered) and the answer is the compound
+    "<color1>-<color2>" — K = n_colors^2 (144 at the default palette)
+    genuine classes, trained into a --num_cls 1000 head so the accuracy
+    gate exercises the reference's production head width
+    (/root/reference/main.py:155) instead of the 13-way ladder head."""
+    from PIL import Image
+
+    n_images = (args.n_train + args.n_val) // args.questions_per_image
+    pos_map = GRID_POS_2 if args.grid_n == 2 else GRID_POS_3
+    colors = list(GRID_COLORS)[:args.n_colors]
+    positions = list(pos_map)
+    pairs = []
+    for i in range(n_images):
+        img, cells = make_grid_image(rng, args.size, args.noise,
+                                     args.cell_fill, args.grid_n, colors)
+        name = f"synth_{i:06d}.jpg"
+        Image.fromarray(img).save(os.path.join(args.out_dir, "imgs", name),
+                                  quality=args.jpeg_quality)
+        for _ in range(args.questions_per_image):
+            a, b = rng.permutation(len(positions))[:2]
+            p1, p2 = positions[a], positions[b]
+            t = GRIDPAIR_TEMPLATES[rng.integers(0, len(GRIDPAIR_TEMPLATES))]
+            q = t.format(p1=pos_map[p1], p2=pos_map[p2])
+            pairs.append((name, q, f"{cells[p1]}-{cells[p2]}"))
+    rng.shuffle(pairs)
+    return pairs
+
+
 def make_vgg11_bn_state_dict(seed: int = 0):
     """Random-init state_dict with torchvision ``vgg11_bn``'s exact keys."""
     import torch
@@ -205,7 +243,8 @@ def main():
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--jpeg_quality", type=int, default=88)
-    ap.add_argument("--task", choices=["redblue", "grid"], default="redblue")
+    ap.add_argument("--task", choices=["redblue", "grid", "gridpair"],
+                    default="redblue")
     ap.add_argument("--noise", type=float, default=25.0,
                     help="grid task: pixel noise sigma (difficulty knob)")
     ap.add_argument("--cell_fill", type=float, default=0.7,
@@ -224,6 +263,10 @@ def main():
     if args.task == "grid":
         pairs = generate_grid(args, rng)
         K = args.n_colors
+        n_images = (args.n_train + args.n_val) // args.questions_per_image
+    elif args.task == "gridpair":
+        pairs = generate_gridpair(args, rng)
+        K = args.n_colors ** 2
         n_images = (args.n_train + args.n_val) // args.questions_per_image
     else:
         n_images = (args.n_train + args.n_val) // args.questions_per_image
