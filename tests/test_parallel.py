@@ -135,6 +135,15 @@ class TestDryrunEntry:
         dryrun_multichip(4)
         assert "OK" in capsys.readouterr().out
 
+    def test_dryrun_mesh_of_one_runs_2d_rules(self, eight_devices, capsys):
+        """n=1 builds the degenerate (1,1) two-axis mesh so the TP/SP/FSDP
+        sharding rules compile on a single chip (on the real TPU this is
+        the run that pushes the 2-D rules through real Mosaic)."""
+        from __graft_entry__ import dryrun_multichip
+        dryrun_multichip(1)
+        out = capsys.readouterr().out
+        assert "OK" in out and "tp+sp+fsdp 2-D mesh (1x1)" in out
+
     def test_dryrun_odd_n_skips_2d_leg_loudly(self, eight_devices, capsys):
         """An odd-n driver call must say the tp+sp+fsdp leg was skipped
         instead of reporting an OK that looks like a 2-D pass."""

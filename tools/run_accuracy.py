@@ -122,9 +122,9 @@ def main():
             cmd += ["--seed", str(args.seed)]
         if args.int8_calib >= 0:
             cmd += ["--int8_calib", str(args.int8_calib)]
+        # matrix runs share compilations via vqa_tpu.main's own persistent
+        # cache default (~/.cache/vqa_tpu; vqa_tpu/compile_cache.py)
         env = dict(os.environ)
-        # persistent XLA compile cache: matrix runs share compilations
-        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
         proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
                               env=env)
         out = proc.stdout + proc.stderr
