@@ -54,6 +54,43 @@ class TestKernelNumerics:
         step = 127.0 * max(s_x1) * np.abs(w1).max() * 9  # 1 requant step bound
         assert diff.max() < step
 
+    def test_xla_phase_conv1_matches_hpack_kernel_exactly(self):
+        """The r5 phase-conv conv1 (two XLA int8 convs on the packed input,
+        phase-max = pool-H) must equal the hpack Pallas kernel bit-for-bit
+        — every post-accumulator op is monotone so max/quant/pool commute
+        (conv_stem._conv1_xla_phases docstring)."""
+        from vqa_tpu.ops.conv_stem import (_conv1_xla_phases,
+                                           _hpack_from_packed)
+
+        rng = jax.random.PRNGKey(0)
+        xp = jax.random.randint(rng, (2, 8, 16, 128), -127, 128,
+                                jnp.int32).astype(jnp.int8)
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 64, 128),
+                              jnp.float32) * 0.05
+        b = jax.random.normal(jax.random.PRNGKey(2), (128,),
+                              jnp.float32) * 0.1
+        s1 = tuple([0.02] * 64)
+        for s_next in (tuple([0.03] * 128), None):
+            ref = _hpack_from_packed(xp, w, b, s1, jnp.bfloat16,
+                                     interpret=True, s_next=s_next)
+            out = _conv1_xla_phases(xp, w, b, s1, jnp.bfloat16,
+                                    s_next=s_next)
+            assert out.dtype == ref.dtype
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    def test_fused_stem_conv1_impl_env_same_values(self, monkeypatch):
+        """fused_stem computes the same values under either conv1
+        implementation (VQA_STEM_CONV1), so the A/B knob carries no
+        accuracy risk."""
+        x, w0, b0, w1, b1, s_x0, s_x1 = _case()
+        outs = {}
+        for impl in ("pallas", "xla_phase"):
+            monkeypatch.setenv("VQA_STEM_CONV1", impl)
+            outs[impl] = np.asarray(
+                fused_stem(x, w0, b0, w1, b1, s_x0=s_x0, s_x1=s_x1,
+                           force="pallas"), np.float32)
+        np.testing.assert_array_equal(outs["pallas"], outs["xla_phase"])
+
     def test_fused_close_to_unfused_chain(self):
         # the shipped two-kernel chain (bf16 intermediate) and the fused
         # chain agree to within a few requant steps of conv1's quantizer

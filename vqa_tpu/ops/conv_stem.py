@@ -199,6 +199,63 @@ def _hpack_from_packed(xp, w, b, s1, out_dtype, interpret: bool = False,
     )(*args)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("s1", "out_dtype", "s_next"))
+def _conv1_xla_phases(xp, w, b, s1, out_dtype, s_next=None):
+    """conv1 stage on the PACKED int8 input via two XLA phase convs.
+
+    r5 finding (BASELINE.md r5 stem section): Mosaic-authored int8 dots
+    plateau at ~125 TF/s at every contraction depth tried, while XLA's own
+    int8 conv emitter sustains 334-364 TF/s in this very step at
+    C_in >= 128 — and the H-pair-packed handoff [B, Q, W, 2C] IS a
+    128-channel tensor. The phase decomposition (output row h = 2q' + p)
+    maps conv1 exactly onto two XLA convs with [2, 3, 2C, O] kernels built
+    from the same quantized weights the hpack kernel packs:
+
+      phase 0 taps packed rows {q'-1, q'} -> H-padding (1, 0)
+      phase 1 taps packed rows {q', q'+1} -> H-padding (0, 1)
+
+    and the 2x2 maxpool's H-reduction is exactly ``max(phase0, phase1)``.
+    Dequant+bias+ReLU (+ the s_next handoff quantize) run per phase so XLA
+    fuses them into each conv's epilogue (the conv2-7 pattern); max and
+    the W-pool then run on the small output dtype. Every post-accumulator
+    op is monotone, so this computes bit-identically to the hpack kernel's
+    i32-max-first ordering (same argument as ops/conv_hpack.py).
+    """
+    out_ch = w.shape[-1]
+    c = w.shape[2]
+    w32 = w.astype(jnp.float32) * jnp.asarray(s1, jnp.float32)[None, None,
+                                                               :, None]
+    s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.
+    w_q = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
+
+    z = jnp.zeros((3, c, out_ch), jnp.int8)
+    # rows 0:C of the packed channel dim = pair half r=0, rows C:2C = r=1
+    k_p0 = jnp.stack([jnp.concatenate([z, w_q[0]], axis=1),
+                      jnp.concatenate([w_q[1], w_q[2]], axis=1)])
+    k_p1 = jnp.stack([jnp.concatenate([w_q[0], w_q[1]], axis=1),
+                      jnp.concatenate([w_q[2], z], axis=1)])
+
+    def phase(kern, h_pad):
+        acc = jax.lax.conv_general_dilated(
+            xp, kern, (1, 1), [h_pad, (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = jnp.maximum(acc.astype(jnp.float32) * s_w
+                        + b.astype(jnp.float32), 0.0)
+        if s_next is not None:
+            inv = 1.0 / jnp.asarray(s_next, jnp.float32)
+            return jnp.clip(jnp.round(y * inv), -127, 127).astype(jnp.int8)
+        return y.astype(out_dtype)
+
+    y0 = phase(k_p0, (1, 0))
+    y1 = phase(k_p1, (0, 1))
+    m = jnp.maximum(y0, y1)                       # the pool's H-reduction
+    init = jnp.iinfo(jnp.int8).min if s_next is not None else -jnp.inf
+    return jax.lax.reduce_window(m, jnp.asarray(init, m.dtype), jax.lax.max,
+                                 (1, 1, 2, 1), (1, 1, 2, 1), "VALID")
+
+
 def _xla_reference(x, w0, b0, w1, b1, s_x0, s_x1, out_dtype, s_next=None):
     """The fused numerics through plain XLA (fallback + parity oracle).
 
@@ -214,7 +271,7 @@ def _xla_reference(x, w0, b0, w1, b1, s_x0, s_x1, out_dtype, s_next=None):
 
 @functools.lru_cache()
 def _partitioned(s_x0, s_x1, out_dtype, interpret: bool, s_next=None,
-                 wpool="post"):
+                 wpool="post", conv1_impl="xla_phase"):
     """GSPMD batch-parallel wrapper (same design as conv_stage1/conv_hpack:
     pallas_call has no SPMD rule; weights/bias replicate, batch shards)."""
     from jax.experimental.custom_partitioning import custom_partitioning
@@ -223,6 +280,9 @@ def _partitioned(s_x0, s_x1, out_dtype, interpret: bool, s_next=None,
 
     def call(x, w0, b0, w1, b1):
         xp = _conv0_i8_packed(x, w0, b0, s_x0, s_x1, interpret=interpret)
+        if conv1_impl == "xla_phase":
+            return _conv1_xla_phases(xp, w1, b1, s_x1, out_dtype,
+                                     s_next=s_next)
         return _hpack_from_packed(xp, w1, b1, s_x1, out_dtype,
                                   interpret=interpret, s_next=s_next,
                                   wpool=wpool)
@@ -303,5 +363,11 @@ def fused_stem(x, w0, b0, w1, b1, *, s_x0, s_x1, s_next=None,
         raise ValueError(f"unsupported stem shape: x{x.shape} "
                          f"w0{w0.shape} w1{w1.shape}")
     wpool = os.environ.get("VQA_HPACK_WPOOL", "post")
+    # conv1 stage implementation: 'pallas' (the r3-r4 hpack kernel) |
+    # 'xla_phase' (r5 candidate — two XLA int8 phase convs on the packed
+    # input ride the 334-364 TF/s conv emitter; the Pallas kernel plateaus
+    # at the ~125 TF/s Mosaic dot wall, BASELINE.md r5). Default decided
+    # by the same-session A/B.
+    conv1_impl = os.environ.get("VQA_STEM_CONV1", "pallas")
     return _partitioned(s_x0, s_x1, x.dtype, not cs1._on_tpu(),
-                        s_next, wpool)(x, w0, b0, w1, b1)
+                        s_next, wpool, conv1_impl)(x, w0, b0, w1, b1)
