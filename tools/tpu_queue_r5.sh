@@ -1,19 +1,29 @@
 #!/bin/bash
-# Round-5 TPU work queue — the repeatable recipe behind the r5-session
-# BASELINE.md rows (parallelism + grad-accum + orbax session). Each step is
+# Round-5 TPU work queue — the repeatable recipe behind the r5 BASELINE.md
+# rows (device profile + stem phase-conv + gates). Each step is
 # independently resumable.
 #
-#   bash tools/tpu_queue_r5.sh probe      # tunnel health (fast)
-#   bash tools/tpu_queue_r5.sh bench      # headline bench, default path
-#   bash tools/tpu_queue_r5.sh ga160      # grad-accum cost at split microbatch
-#   bash tools/tpu_queue_r5.sh ga320      # grad-accum at matched microbatch
-#   bash tools/tpu_queue_r5.sh dryrun     # dp+tp+sp+fsdp on the 8-dev CPU mesh
-#   bash tools/tpu_queue_r5.sh tp_suite   # TP/SP/FSDP + orbax test files (CPU)
+#   bash tools/tpu_queue_r5.sh probe        # tunnel health (fast)
+#   bash tools/tpu_queue_r5.sh bench        # headline bench, default path
+#   bash tools/tpu_queue_r5.sh profile      # per-kernel device profile + roofline
+#   bash tools/tpu_queue_r5.sh ab_conv1     # step-level A/B: pallas vs xla_phase conv1
+#   bash tools/tpu_queue_r5.sh ga_quiet     # grad-accum cost A/B (run on a QUIET host)
+#   bash tools/tpu_queue_r5.sh newshape     # cache check: new-shape bench twice
+#   bash tools/tpu_queue_r5.sh mesh1        # 1-D + 2-D (1,1) mesh through real Mosaic
+#   bash tools/tpu_queue_r5.sh dryrun       # dp+tp+sp+fsdp on the 8-dev CPU mesh
+#   bash tools/tpu_queue_r5.sh tp_suite     # TP/SP/FSDP + orbax test files (CPU)
 #
-# Gotcha reproduced this session: a NEW microbatch shape (b80@448, from
-# BENCH_GRAD_ACCUM=2 at BENCH_BATCH=160) took >15 min of tunnel compile — the
-# late-r4 compile ballooning. Budget 2300s+ for any first-compile of a new
-# shape; bench.py streams a JSON line per completed window either way.
+# Compile-time rules learned r4/r5:
+# - a NEW shape's first compile can take 15-25+ min through the tunnel;
+#   budget 2300s+ (BENCH_BUDGET_S=2300, timeout 2400) for any first run.
+#   bench.py prints a flushed "# compiling ..." line before the warmup so a
+#   budget kill is diagnosable, and streams a JSON line per window.
+# - the axon tunnel caches compiles SERVER-side across processes (measured
+#   r5: 89.2s first process, 1.58s second, same shape); the client-side
+#   JAX_COMPILATION_CACHE_DIR (~/.cache/vqa_tpu default) fills only where
+#   compilation is local (CPU/real TPU hosts) — keep both.
+# - do NOT time against the chip while heavy CPU work (the test suite)
+#   shares this 1-core host: r5's first grad-accum rows were contaminated.
 set -u
 cd /root/repo
 
@@ -22,15 +32,39 @@ case "${1:-}" in
     timeout 240 python -c "import jax,jax.numpy as jnp; print('tunnel ok:', float(jnp.ones((8,8)).sum()))"
     ;;
   bench)
-    timeout 900 python bench.py
+    BENCH_BUDGET_S=2300 timeout 2400 python bench.py
     ;;
-  ga160)
-    BENCH_GRAD_ACCUM=2 BENCH_WINDOWS=2 BENCH_BUDGET_S=2300 \
+  profile)
+    timeout 2400 python tools/profile_headline.py
+    ;;
+  ab_conv1)
+    echo "=== conv1 pallas (r3-r4 kernel) ==="
+    VQA_STEM_CONV1=pallas BENCH_WINDOWS=2 BENCH_BUDGET_S=2300 \
+      timeout 2400 python bench.py
+    echo "=== conv1 xla_phase (r5) ==="
+    VQA_STEM_CONV1=xla_phase BENCH_WINDOWS=2 BENCH_BUDGET_S=2300 \
       timeout 2400 python bench.py
     ;;
-  ga320)
+  ga_quiet)
+    echo "=== b320 monolithic ==="
+    BENCH_BATCH=320 BENCH_WINDOWS=2 BENCH_BUDGET_S=2300 \
+      timeout 2400 python bench.py
+    echo "=== b320 ga=2 (same microbatch count as b160 headline) ==="
     BENCH_BATCH=320 BENCH_GRAD_ACCUM=2 BENCH_WINDOWS=2 BENCH_BUDGET_S=2300 \
       timeout 2400 python bench.py
+    ;;
+  newshape)
+    # item-3 verification: a deliberately-new shape twice; the second
+    # process must start its first window without the big compile
+    for i in 1 2; do
+      echo "=== invocation $i ==="
+      BENCH_MODEL=baseline BENCH_BATCH=88 BENCH_STEPS=10 BENCH_WINDOWS=1 \
+        BENCH_BUDGET_S=2300 timeout 2400 python bench.py
+    done
+    ;;
+  mesh1)
+    # 2-D tp+sp+fsdp rules through REAL Mosaic on the one chip (1,1 mesh)
+    timeout 2400 python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(1)"
     ;;
   dryrun)
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
