@@ -335,8 +335,10 @@ def stem_supported(x_shape, w0_shape, w1_shape) -> bool:
 
 def fused_stem(x, w0, b0, w1, b1, *, s_x0, s_x1, s_next=None,
                force: str | None = None):
-    """VGG stem (conv0+BN+ReLU+pool, conv1+BN+ReLU+pool) in two Pallas
-    kernels joined by a packed-int8 handoff — no intermediate bf16 map.
+    """VGG stem (conv0+BN+ReLU+pool, conv1+BN+ReLU+pool): the conv0
+    Pallas kernel and the conv1 stage (XLA phase convs by default, the
+    hpack Pallas kernel via VQA_STEM_CONV1=pallas) joined by a
+    packed-int8 handoff — no intermediate bf16 map.
 
     x [B, H, W, C] -> [B, H/4, W/4, 128]. ``w*``/``b*`` are the BN-folded
     weights; ``s_x0``/``s_x1`` the static per-input-channel quant-scale
@@ -363,11 +365,13 @@ def fused_stem(x, w0, b0, w1, b1, *, s_x0, s_x1, s_next=None,
         raise ValueError(f"unsupported stem shape: x{x.shape} "
                          f"w0{w0.shape} w1{w1.shape}")
     wpool = os.environ.get("VQA_HPACK_WPOOL", "post")
-    # conv1 stage implementation: 'pallas' (the r3-r4 hpack kernel) |
-    # 'xla_phase' (r5 candidate — two XLA int8 phase convs on the packed
-    # input ride the 334-364 TF/s conv emitter; the Pallas kernel plateaus
-    # at the ~125 TF/s Mosaic dot wall, BASELINE.md r5). Default decided
-    # by the same-session A/B.
-    conv1_impl = os.environ.get("VQA_STEM_CONV1", "pallas")
+    # conv1 stage implementation: 'xla_phase' (default since r5 — two XLA
+    # int8 phase convs on the packed input ride the 334-364 TF/s conv
+    # emitter; same-session step A/B: 3,380 vs 3,054 QA/s, +10.7%) |
+    # 'pallas' (the r3-r4 hpack kernel, which plateaus at the ~125 TF/s
+    # Mosaic in-kernel dot wall, BASELINE.md r5 stem section). Numerics
+    # are bit-identical (integer accumulation is order-free; the f32
+    # epilogue is elementwise-identical; tests/test_conv_stem.py).
+    conv1_impl = os.environ.get("VQA_STEM_CONV1", "xla_phase")
     return _partitioned(s_x0, s_x1, x.dtype, not cs1._on_tpu(),
                         s_next, wpool, conv1_impl)(x, w0, b0, w1, b1)
