@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="tpu only: init/shuffle seed (seed-noise control "
                          "rows for the drift ladder)")
+    ap.add_argument("--image_size", type=int, default=0,
+                    help="model input size override (--image_size; both "
+                         "frameworks; 224 keeps the 12-ep gate matrix at "
+                         "the r3 ladder's footprint on the 448 attention "
+                         "default)")
     ap.add_argument("--host_size", type=int, default=0,
                     help="tpu only: host decode size (device resizes to the "
                          "model size); 224 avoids 4x decode cost + H2D for "
@@ -78,7 +83,8 @@ def main():
     run = args.run_name or f"{args.framework}_o{args.opt_lvl}_i{args.int8}" \
         f"_bn{args.bn_mode}_e{args.epochs}" \
         + ("_vt" if args.vgg_train == "true" else "") \
-        + (f"_s{args.seed}" if args.seed else "")
+        + (f"_s{args.seed}" if args.seed else "") \
+        + (f"_im{args.image_size}" if args.image_size else "")
     expt = args.expt_dir or os.path.join(d, "expts")
     n_val = sum(1 for _ in open(os.path.join(d, "val.txt")))
     common = [
@@ -99,6 +105,8 @@ def main():
         "--val_size", str(n_val), "--vgg_train", args.vgg_train,
         "--vgg_wts_path", os.path.join(d, args.vgg_wts),
     ]
+    if args.image_size:
+        common += ["--image_size", str(args.image_size)]
     t0 = time.time()
     if args.framework == "ref":
         env = dict(os.environ)
