@@ -12,6 +12,9 @@
 #   bash tools/tpu_queue_r5.sh mesh1        # 1-D + 2-D (1,1) mesh through real Mosaic
 #   bash tools/tpu_queue_r5.sh dryrun       # dp+tp+sp+fsdp on the 8-dev CPU mesh
 #   bash tools/tpu_queue_r5.sh tp_suite     # TP/SP/FSDP + orbax test files (CPU)
+#   bash tools/tpu_queue_r5.sh gpdata       # K=144 gridpair gate datasets (CPU)
+#   bash tools/tpu_queue_r5.sh gptrain      # 12-ep bf16 ckpt, 1000-wide head
+#   bash tools/tpu_queue_r5.sh gpgates      # PTQ drift gates on the fresh 5k val
 #
 # Compile-time rules learned r4/r5:
 # - a NEW shape's first compile can take 15-25+ min through the tunnel;
@@ -73,6 +76,40 @@ case "${1:-}" in
   tp_suite)
     timeout 3600 python -m pytest tests/test_parallel_tp.py \
       tests/test_checkpoint.py tests/test_parallel.py -q
+    ;;
+  gpdata)
+    # production-head-width gate datasets (r4-VERDICT item 7): K=144
+    # genuine classes trained into a --num_cls 1000 head
+    JAX_PLATFORMS=cpu python tools/make_synth_dataset.py \
+      --out_dir /tmp/gridpair --task gridpair --n_train 10000 --n_val 2000
+    JAX_PLATFORMS=cpu python tools/make_synth_dataset.py \
+      --out_dir /tmp/gridpair5k --task gridpair --n_train 100 --n_val 5000 \
+      --seed 1234
+    ;;
+  gptrain)
+    # 12-ep bf16 drift-gate checkpoint at the production head width
+    timeout 7200 python tools/run_accuracy.py --framework tpu \
+      --data_dir /tmp/gridpair --model attention --num_cls 1000 \
+      --epochs 12 --batch_size 32 --lr 5e-4 --opt_lvl 1 --int8 false \
+      --host_size 224 --run_name gp12_bf16 --save_interval 3744
+    ;;
+  gpgates)
+    # PTQ drift gates on the fresh 5k val (seed 1234), K=1000 head
+    GPCKPT=/tmp/gridpair/expts/acc/gp12_bf16/model_3744.ckpt
+    for leg in "gp_bf16|--int8_backbone false" \
+               "gp_int8|--int8_backbone true --int8_calib 8" \
+               "gp_fp32|--opt_lvl 0 --int8_backbone false"; do
+      tag="${leg%%|*}"; extra="${leg#*|}"
+      echo "=== $tag ==="
+      timeout 2400 python -m vqa_tpu.main --mode test --model attention \
+        --expt_dir /tmp/gp_eval5k --expt_name e --run_name "$tag" \
+        --model_ckpt "$GPCKPT" \
+        --train_img /tmp/gridpair/imgs --train_file /tmp/gridpair/train.txt \
+        --val_img /tmp/gridpair5k/imgs --val_file /tmp/gridpair5k/val.txt \
+        --vocab_file /tmp/gridpair/vocab.pkl \
+        --val_size 5000 --batch_size 32 --host_size 224 --num_cls 1000 \
+        $extra 2>&1 | tail -4
+    done
     ;;
   *)
     grep '^#   bash' "$0"
