@@ -59,7 +59,72 @@ def _infer_num_classes(model_name: str, params) -> int:
             f"(missing classifier head): {e}") from e
 
 
-class VQAPredictor:
+class _ServingEngine:
+    """Host-side serving logic shared by :class:`VQAPredictor` and the AOT
+    :class:`vqa_tpu.export.ExportedPredictor`: question encoding, image
+    decode, fixed-shape batch padding, and top-k answer-string mapping.
+    Subclasses provide ``_probs`` (the device forward) and may hook
+    ``_prepare_batch`` (first-batch auto-calibration)."""
+
+    vocab: Vocab
+    batch_size: int
+    image_size: int
+    synthetic_images: bool
+
+    def _prepare_batch(self, images_u8) -> None:
+        """Called with each chunk's decoded images before the forward."""
+
+    def _probs(self, images_u8, ids, lens) -> np.ndarray:
+        """[B,S,S,3] uint8 + [B,L]/[B] int32 -> softmax probs [B,K]."""
+        raise NotImplementedError
+
+    def encode_questions(self, questions: list[str]):
+        """Raw question strings -> (ids [N, L], lengths [N])."""
+        unk = self.vocab.word2idx[UNK_TOKEN]
+        ids = np.zeros((len(questions), self.vocab.max_seq_length), np.int32)
+        lens = np.zeros((len(questions),), np.int32)
+        for i, q in enumerate(questions):
+            toks = [self.vocab.word2idx.get(w, unk) for w in preprocess_text(q)]
+            ids[i] = pad_sequences(toks, self.vocab.max_seq_length)
+            lens[i] = int(np.count_nonzero(ids[i]))
+        return ids, lens
+
+    def predict(self, image_paths: list[str], questions: list[str],
+                top_k: int = 1) -> list[dict]:
+        """Answer (image, question) pairs; any count up to padding, no recompile.
+
+        Returns per-sample dicts: {answer, prob, topk: [(answer, prob), ...]}.
+        """
+        assert len(image_paths) == len(questions)
+        results: list[dict] = []
+        bs = self.batch_size
+        for start in range(0, len(questions), bs):
+            chunk_paths = image_paths[start:start + bs]
+            chunk_qs = questions[start:start + bs]
+            n = len(chunk_qs)
+            images = decode_batch(chunk_paths, self.image_size,
+                                  synthetic_fallback=self.synthetic_images)
+            self._prepare_batch(images)
+            ids, lens = self.encode_questions(chunk_qs)
+            # pad the batch to the compiled shape
+            if n < bs:
+                images = np.concatenate(
+                    [images, np.zeros((bs - n,) + images.shape[1:], images.dtype)])
+                ids = np.concatenate([ids, np.zeros((bs - n, ids.shape[1]), ids.dtype)])
+                lens = np.concatenate([lens, np.ones((bs - n,), lens.dtype)])
+            probs = self._probs(images, ids, lens)[:n]
+            order = np.argsort(-probs, axis=-1)[:, :top_k]
+            for row, top in zip(probs, order):
+                # class ids beyond the vocab's realized labels are untrained
+                # head slots; surface them as UNKNOWN rather than KeyError
+                topk = [(self.vocab.idx2label.get(int(i), "UNKNOWN"), float(row[i]))
+                        for i in top]
+                results.append({"answer": topk[0][0], "prob": topk[0][1],
+                                "topk": topk})
+        return results
+
+
+class VQAPredictor(_ServingEngine):
     """Compiled batch predictor over a trained checkpoint."""
 
     def __init__(self, model_name: str, vocab: Vocab, checkpoint: str | None = None,
@@ -190,62 +255,34 @@ class VQAPredictor:
         self._needs_calib = False
         self._fwd = self._make_fwd()
 
-    def encode_questions(self, questions: list[str]):
-        """Raw question strings -> (ids [N, L], lengths [N])."""
-        unk = self.vocab.word2idx[UNK_TOKEN]
-        ids = np.zeros((len(questions), self.vocab.max_seq_length), np.int32)
-        lens = np.zeros((len(questions),), np.int32)
-        for i, q in enumerate(questions):
-            toks = [self.vocab.word2idx.get(w, unk) for w in preprocess_text(q)]
-            ids[i] = pad_sequences(toks, self.vocab.max_seq_length)
-            lens[i] = int(np.count_nonzero(ids[i]))
-        return ids, lens
+    def _prepare_batch(self, images_u8) -> None:
+        if self._needs_calib:
+            self._calibrate(images_u8)
 
-    def predict(self, image_paths: list[str], questions: list[str],
-                top_k: int = 1) -> list[dict]:
-        """Answer (image, question) pairs; any count up to padding, no recompile.
-
-        Returns per-sample dicts: {answer, prob, topk: [(answer, prob), ...]}.
-        """
-        assert len(image_paths) == len(questions)
-        results: list[dict] = []
-        bs = self.batch_size
-        for start in range(0, len(questions), bs):
-            chunk_paths = image_paths[start:start + bs]
-            chunk_qs = questions[start:start + bs]
-            n = len(chunk_qs)
-            images = decode_batch(chunk_paths, self.image_size,
-                                  synthetic_fallback=self.synthetic_images)
-            if self._needs_calib:
-                self._calibrate(images)
-            ids, lens = self.encode_questions(chunk_qs)
-            # pad the batch to the compiled shape
-            if n < bs:
-                images = np.concatenate(
-                    [images, np.zeros((bs - n,) + images.shape[1:], images.dtype)])
-                ids = np.concatenate([ids, np.zeros((bs - n, ids.shape[1]), ids.dtype)])
-                lens = np.concatenate([lens, np.ones((bs - n,), lens.dtype)])
-            probs = np.asarray(self._fwd(self.variables, self.preprocess(images),
-                                         jnp.asarray(ids), jnp.asarray(lens)))[:n]
-            order = np.argsort(-probs, axis=-1)[:, :top_k]
-            for row, top in zip(probs, order):
-                # class ids beyond the vocab's realized labels are untrained
-                # head slots; surface them as UNKNOWN rather than KeyError
-                topk = [(self.vocab.idx2label.get(int(i), "UNKNOWN"), float(row[i]))
-                        for i in top]
-                results.append({"answer": topk[0][0], "prob": topk[0][1],
-                                "topk": topk})
-        return results
+    def _probs(self, images_u8, ids, lens) -> np.ndarray:
+        return np.asarray(self._fwd(self.variables, self.preprocess(images_u8),
+                                    jnp.asarray(ids), jnp.asarray(lens)))
 
 
 def build_parser():
     ap = argparse.ArgumentParser(description="VQA batched inference")
-    ap.add_argument("--model", required=True, choices=["baseline", "attention", "bert"])
+    ap.add_argument("--model", choices=["baseline", "attention", "bert"],
+                    help="required unless --from_export (the artifact "
+                         "manifest carries the model identity)")
     ap.add_argument("--vocab_file", required=True)
     ap.add_argument("--model_ckpt", help=".ckpt or reference .pth")
     ap.add_argument("--img_dir", default=".", help="image directory")
-    ap.add_argument("--input", required=True,
-                    help="dataset .txt (img\\tq\\t[ans]) or '-' for stdin pairs 'img\\tq'")
+    ap.add_argument("--input",
+                    help="dataset .txt (img\\tq\\t[ans]) or '-' for stdin "
+                         "pairs 'img\\tq'; required unless --export_to")
+    ap.add_argument("--from_export",
+                    help="serve from an AOT StableHLO artifact directory "
+                         "(vqa_tpu.export) instead of building the model "
+                         "from a checkpoint")
+    ap.add_argument("--export_to",
+                    help="after building the predictor, export it as an "
+                         "AOT artifact to this directory and exit (unless "
+                         "--input is also given)")
     ap.add_argument("--output", help="output JSONL (default stdout)")
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--top_k", type=int, default=1)
@@ -278,19 +315,42 @@ def build_parser():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.from_export and args.export_to:
+        parser.error("--from_export and --export_to are mutually exclusive")
+    if not args.from_export and not args.model:
+        parser.error("--model is required (unless serving --from_export)")
+    if not args.input and not args.export_to:
+        parser.error("--input is required (unless only exporting via "
+                     "--export_to)")
     vocab = Vocab.load(args.vocab_file)
-    predictor = VQAPredictor(
-        args.model, vocab, args.model_ckpt,
-        num_cls=args.num_cls, batch_size=args.batch_size,
-        opt_lvl=args.opt_lvl, use_pallas=args.use_pallas,
-        int8_backbone={"auto": None, "true": True,
-                       "false": False}[args.int8_backbone],
-        int8_stages=(None if args.int8_stages == "auto" else
-                     tuple(int(i) for i in args.int8_stages.split(",") if i)),
-        calib_file=args.calib_file, int8_dynamic=args.int8_dynamic,
-        synthetic_images=args.synthetic_images,
-        image_size=args.image_size)
+    if args.from_export:
+        from .export import ExportedPredictor
+        predictor = ExportedPredictor(
+            args.from_export, vocab, vocab_path=args.vocab_file,
+            synthetic_images=args.synthetic_images)
+    else:
+        predictor = VQAPredictor(
+            args.model, vocab, args.model_ckpt,
+            num_cls=args.num_cls, batch_size=args.batch_size,
+            opt_lvl=args.opt_lvl, use_pallas=args.use_pallas,
+            int8_backbone={"auto": None, "true": True,
+                           "false": False}[args.int8_backbone],
+            int8_stages=(None if args.int8_stages == "auto" else
+                         tuple(int(i) for i in args.int8_stages.split(",") if i)),
+            calib_file=args.calib_file, int8_dynamic=args.int8_dynamic,
+            synthetic_images=args.synthetic_images,
+            image_size=args.image_size)
+    if args.export_to:
+        from .export import export_predictor
+        manifest = export_predictor(predictor, args.export_to,
+                                    vocab_path=args.vocab_file)
+        print(f"exported serving artifact -> {args.export_to} "
+              f"({manifest['artifact_bytes'] / 1e6:.1f} MB, platforms "
+              f"{manifest['platforms']})")
+        if not args.input:
+            return
 
     import sys
     lines = (sys.stdin if args.input == "-" else open(args.input)).read().split("\n")
