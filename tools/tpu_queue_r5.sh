@@ -15,6 +15,7 @@
 #   bash tools/tpu_queue_r5.sh gpdata       # K=144 gridpair gate datasets (CPU)
 #   bash tools/tpu_queue_r5.sh gptrain      # 12-ep bf16 ckpt, 1000-wide head
 #   bash tools/tpu_queue_r5.sh gpgates      # PTQ drift gates on the fresh 5k val
+#   bash tools/tpu_queue_r5.sh aot          # AOT export round-trip on-chip
 #
 # Compile-time rules learned r4/r5:
 # - a NEW shape's first compile can take 15-25+ min through the tunnel;
@@ -92,6 +93,11 @@ case "${1:-}" in
       --data_dir /tmp/gridpair --model attention --num_cls 1000 \
       --epochs 12 --batch_size 32 --lr 5e-4 --opt_lvl 1 --int8 false \
       --host_size 224 --run_name gp12_bf16 --save_interval 3744
+    ;;
+  aot)
+    # AOT export/serve round-trip on the real chip (Mosaic custom calls
+    # through serialize/deserialize; numerics vs the live predictor)
+    timeout 2400 python tools/exp_aot_tpu.py
     ;;
   gpgates)
     # PTQ drift gates on the fresh 5k val (seed 1234), K=1000 head
