@@ -101,7 +101,8 @@ case "${1:-}" in
     ;;
   gpgates)
     # PTQ drift gates on the fresh 5k val (seed 1234), K=1000 head
-    GPCKPT=/tmp/gridpair/expts/acc/gp12_bf16/model_3744.ckpt
+    # the r5 run: 5 x 12-epoch --model_ckpt latest legs -> epoch 60
+    GPCKPT=/tmp/gridpair/expts/acc/gp12_bf16/model_18720.ckpt
     for leg in "gp_bf16|--int8_backbone false" \
                "gp_int8|--int8_backbone true --int8_calib 8" \
                "gp_fp32|--opt_lvl 0 --int8_backbone false"; do
