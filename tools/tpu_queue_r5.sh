@@ -94,6 +94,15 @@ case "${1:-}" in
       --epochs 12 --batch_size 32 --lr 5e-4 --opt_lvl 1 --int8 false \
       --host_size 224 --run_name gp12_bf16 --save_interval 3744
     ;;
+  gpi8)
+    # int8-full-default training trajectory at the production head width
+    # (the r4 i8train pattern on gridpair; resume to epoch 24 with a second
+    # --model_ckpt latest leg, compare vs the bf16 legs' 21.9% @24)
+    timeout 4800 python tools/run_accuracy.py --framework tpu \
+      --data_dir /tmp/gridpair --model attention --num_cls 1000 \
+      --epochs 12 --batch_size 32 --lr 5e-4 --opt_lvl 1 --int8 true \
+      --host_size 224 --run_name gp12_i8 --save_interval 3744
+    ;;
   aot)
     # AOT export/serve round-trip on the real chip (Mosaic custom calls
     # through serialize/deserialize; numerics vs the live predictor)
