@@ -79,7 +79,7 @@ def export_predictor(predictor: VQAPredictor, out_dir: str, *,
     ``(image_u8 [B,S,S,3], question [B,L] i32, ques_len [B] i32) ->
     probs [B,K] f32`` at the predictor's compiled batch shape.
     """
-    if predictor._needs_calib:
+    if getattr(predictor, "_needs_calib", False):
         raise ValueError(
             "int8 activation scales are unresolved; export would bake "
             "uncalibrated numerics. Pass calib_file= (or put an "

@@ -326,6 +326,9 @@ def main(argv=None):
                      "--export_to)")
     vocab = Vocab.load(args.vocab_file)
     if args.from_export:
+        if args.model_ckpt:
+            print("NOTE: --model_ckpt is ignored with --from_export (the "
+                  "artifact carries the weights)")
         from .export import ExportedPredictor
         predictor = ExportedPredictor(
             args.from_export, vocab, vocab_path=args.vocab_file,
